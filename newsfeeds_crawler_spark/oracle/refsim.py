@@ -1,0 +1,235 @@
+"""Pure-Python single-threaded reference-semantics simulator (the SPEC).
+
+Implements the reference crawler's dataflow exactly — the FeedManager state
+machine (/root/reference/.../FeedManager.scala:72-189), the HttpManager
+FIFO + politeness discipline W1–W5 (HttpManager.scala:65-143), predicates
+P1–P5, aggregations A1–A2 — over the deterministic virtual-time model both
+this oracle and the Spark engine share:
+
+- time advances in epochs of ``tick_ms``;
+- task arrival order is pinned to the composite FIFO key
+  ``(enqueue_epoch, enqueue_rank, enqueue_sub)`` (the reference's order is
+  actor-schedule dependent; pinning it makes W1–W5 a pure function — see
+  SURVEY.md §2.5);
+- per epoch: scan pending tasks in FIFO order, take the first task of each
+  not-yet-taken admissible host (W2 skip-scan), stop after ``workers`` (W4);
+  a host is admissible iff ``epoch >= last_access + ceil(delay/tick)`` (W3);
+- admitted tasks fetch (corpus lookup), then run the reference state
+  machine; items discovered by the feed admitted at rank r in epoch e are
+  enqueued with key ``(e+1, r, item_idx)``.
+
+Documented deviations from the reference (both sides implement these):
+- duplicate URL within one feed: reference crashes (FeedManager.scala:180-182),
+  we keep the first occurrence;
+- cross-feed duplicate fetched twice: reference would hit a UNIQUE-violation
+  race, we upsert (second fetch updates);
+- robots.txt gate (north_star requirement, no reference analog): disallowed
+  article tasks are denied at admission and count as processed for their
+  feed; a denied feed task kills the feed.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from datetime import datetime
+from typing import Optional
+
+from newsfeeds_crawler_spark.functions.feedparse import parse_feed_py
+from newsfeeds_crawler_spark.functions.predicates import is_newer_py
+from newsfeeds_crawler_spark.functions.urls import canonicalize_url_py, url_host_py
+from newsfeeds_crawler_spark.synth.corpus import SynthCorpus, extract_caption_py
+
+
+@dataclass
+class Task:
+    url: str
+    url_canon: str
+    host: str
+    kind: str                       # feed | article
+    key: tuple[int, int, int]       # (enqueue_epoch, enqueue_rank, enqueue_sub)
+    feed_canon: Optional[str] = None    # owning feed (article tasks)
+    parsed_pub_ts: Optional[datetime] = None  # item ts from RSS (article tasks)
+    stored_id: Optional[int] = None     # seen-store id at probe time
+    state: str = "pending"          # pending|fetched|robots_denied|skipped
+
+
+@dataclass
+class OracleResult:
+    crawl_order: list[tuple[str, int, int]] = field(default_factory=list)  # (url_canon, epoch, rank)
+    seen: dict[str, Optional[datetime]] = field(default_factory=dict)       # url_canon -> stored pub_ts
+    articles: dict[str, dict] = field(default_factory=dict)                 # url_canon -> row
+    feeds: dict[str, dict] = field(default_factory=dict)                    # feed_canon -> {state,last_pub_ts}
+    metrics: list[dict] = field(default_factory=list)
+    tasks: list[Task] = field(default_factory=list)
+    epochs: int = 0
+
+    @property
+    def order_urls(self) -> list[str]:
+        return [u for u, _, _ in self.crawl_order]
+
+
+def _disallowed(corpus: SynthCorpus, host: str, url_canon: str) -> bool:
+    info = corpus.hosts.get(host)
+    if not info:
+        return False
+    rest = url_canon.split("://", 1)[-1]
+    path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+    return any(path.startswith(p) for p in info["disallow"])
+
+
+def simulate(corpus: SynthCorpus, max_epochs: int = 100_000) -> OracleResult:
+    spec = corpus.spec
+    delay_epochs = {
+        h: max(1, math.ceil(info["crawl_delay_ms"] / spec.tick_ms))
+        for h, info in corpus.hosts.items()
+    }
+    res = OracleResult()
+
+    tasks: list[Task] = []
+    for i, seed in enumerate(corpus.seeds):
+        c = canonicalize_url_py(seed)
+        tasks.append(Task(seed, c, url_host_py(seed), "feed", (0, i, 0), feed_canon=c))
+        res.feeds[c] = {"state": "pending", "last_pub_ts": None}
+
+    # seen store = the article table keyed by canonical URL (preseen = fixtures)
+    store: dict[str, dict] = {
+        u: dict(article_id=row["article_id"], pub_ts=row["pub_ts"],
+                caption=row["caption"], action="preseen")
+        for u, row in corpus.preseen.items()
+    }
+    feed_pending: dict[str, set[tuple[str, int]]] = {}   # feed -> {(item_canon, sub)}
+    feed_watermark: dict[str, Optional[datetime]] = {}
+
+    def item_processed(feed_canon: Optional[str], item_key: tuple[str, int]) -> None:
+        """A1: per-feed countdown; empties -> S7 watermark (FeedManager.scala:153-162)."""
+        if feed_canon is None or feed_canon not in feed_pending:
+            return
+        feed_pending[feed_canon].discard(item_key)
+        if not feed_pending[feed_canon]:
+            res.feeds[feed_canon]["state"] = "done"
+            res.feeds[feed_canon]["last_pub_ts"] = feed_watermark.get(feed_canon)
+            del feed_pending[feed_canon]
+
+    last_access: dict[str, int] = {}
+    epoch = 0
+    while epoch < max_epochs:
+        pending = sorted((t for t in tasks if t.state == "pending"), key=lambda t: t.key)
+        if not pending:
+            break
+
+        # robots gate at admission time
+        still = []
+        for t in pending:
+            if _disallowed(corpus, t.host, t.url_canon):
+                t.state = "robots_denied"
+                if t.kind == "article":
+                    item_processed(t.feed_canon, (t.url_canon, t.key[2]))
+                else:
+                    res.feeds[t.feed_canon]["state"] = "dead"
+            else:
+                still.append(t)
+        pending = still
+
+        # W2/W3/W4: FIFO skip-scan, one per host, global workers cap
+        taken_hosts: set[str] = set()
+        admitted: list[Task] = []
+        stalls = 0
+        for t in pending:
+            if len(admitted) >= spec.workers:
+                break
+            la = last_access.get(t.host)
+            if t.host in taken_hosts or (la is not None and epoch < la + delay_epochs[t.host]):
+                stalls += 1
+                continue
+            admitted.append(t)
+            taken_hosts.add(t.host)
+
+        dedup_hits = 0
+        enqueued = 0
+        for rank, t in enumerate(admitted):
+            res.crawl_order.append((t.url_canon, epoch, rank))
+            last_access[t.host] = epoch
+            t.state = "fetched"
+            page = corpus.page(t.url_canon)
+            body = page.body if page is not None and page.status == 200 else None
+
+            if t.kind == "feed":
+                fc = t.feed_canon
+                if body is None:                      # P3: null body -> feed dead
+                    res.feeds[fc]["state"] = "dead"
+                    continue
+                parsed = parse_feed_py(body)
+                if parsed is None:                    # P3: parse error -> feed dead
+                    res.feeds[fc]["state"] = "dead"
+                    continue
+                feed_pub_ts, items = parsed
+                feed_watermark[fc] = feed_pub_ts      # A2: feed-level date
+                if not items:                         # empty feed: done, NO watermark
+                    res.feeds[fc]["state"] = "done_empty"
+                    continue
+                # within-feed dedup (deviation: reference crashes on dups)
+                seen_in_feed: set[str] = set()
+                pend: set[tuple[str, int]] = set()
+                sub = 0
+                for raw_link, item_ts in items:
+                    ic = canonicalize_url_py(raw_link)
+                    if ic in seen_in_feed:
+                        continue
+                    seen_in_feed.add(ic)
+                    stored = store.get(ic)
+                    fetch = stored is None or is_newer_py(item_ts, stored["pub_ts"])
+                    if stored is not None:
+                        dedup_hits += 1
+                    if fetch:
+                        pend.add((ic, sub))
+                        tasks.append(Task(
+                            raw_link, ic, url_host_py(raw_link), "article",
+                            (epoch + 1, rank, sub), feed_canon=fc,
+                            parsed_pub_ts=item_ts,
+                            stored_id=None if stored is None else stored["article_id"],
+                        ))
+                        enqueued += 1
+                        sub += 1
+                    # skip -> item never registered as pending (processed inline)
+                if pend:
+                    feed_pending[fc] = pend
+                    res.feeds[fc]["state"] = "crawling"
+                else:
+                    # all items skipped -> complete now with watermark (A1 empties)
+                    res.feeds[fc]["state"] = "done"
+                    res.feeds[fc]["last_pub_ts"] = feed_watermark.get(fc)
+            else:
+                ikey = (t.url_canon, t.key[2])
+                if body is None:                      # P3: null page -> skip item
+                    t.state = "skipped"
+                    item_processed(t.feed_canon, ikey)
+                    continue
+                caption = extract_caption_py(body)
+                if caption is None:                   # P3: null extract -> skip item
+                    t.state = "skipped"
+                    item_processed(t.feed_canon, ikey)
+                    continue
+                prior = store.get(t.url_canon)
+                store[t.url_canon] = dict(
+                    article_id=prior["article_id"] if prior else None,
+                    pub_ts=t.parsed_pub_ts,
+                    caption=caption,
+                    action="update" if prior else "insert",
+                    phash=page.phash, w=page.w, h=page.h, fmt=page.fmt,
+                )
+                item_processed(t.feed_canon, ikey)
+
+        res.metrics.append(dict(
+            epoch=epoch, admitted=len(admitted), stalls=stalls,
+            dedup_hits=dedup_hits, enqueued=enqueued,
+        ))
+        epoch += 1
+        if not admitted and not any(t.state == "pending" for t in tasks):
+            break
+
+    res.epochs = epoch
+    res.tasks = tasks
+    res.seen = {u: row["pub_ts"] for u, row in store.items()}
+    res.articles = {u: row for u, row in store.items() if row["action"] != "preseen"}
+    return res

@@ -1,0 +1,102 @@
+"""Materialize a SynthCorpus into Spark DataFrames / Iceberg-layout tables.
+
+The corpus table is the ``input_hint`` shape
+(image_id, bytes, w, h, fmt, caption, phash) plus the crawl wrapper columns
+(url, url_canon, url_hash, host, kind, status, body, feed/item timestamps).
+Bucketed by ``pmod(xxhash64(url_canon), B)`` so the fetch join
+(frontier ⋈ corpus ON url_hash) is a co-partitioned storage join at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from newsfeeds_crawler_spark.synth.corpus import SynthCorpus
+
+CORPUS_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("url_canon", StringType(), False),
+        StructField("host", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("status", IntegerType(), False),
+        StructField("body", StringType(), True),
+        StructField("feed_pub_ts", TimestampType(), True),
+        StructField("pub_ts", TimestampType(), True),
+        # input_hint columns
+        StructField("image_id", StringType(), True),
+        StructField("bytes", BinaryType(), True),
+        StructField("w", IntegerType(), True),
+        StructField("h", IntegerType(), True),
+        StructField("fmt", StringType(), True),
+        StructField("caption", StringType(), True),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+HOSTS_SCHEMA = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("crawl_delay_ms", LongType(), False),
+        StructField("robots_disallow", StringType(), True),  # \n-joined prefixes
+    ]
+)
+
+PRESEEN_SCHEMA = StructType(
+    [
+        StructField("url_canon", StringType(), False),
+        StructField("article_id", LongType(), True),
+        StructField("pub_ts", TimestampType(), True),
+        StructField("caption", StringType(), True),
+    ]
+)
+
+
+def corpus_df(spark: SparkSession, corpus: SynthCorpus, num_buckets: int = 16) -> DataFrame:
+    rows = [
+        (
+            p.url, p.url_canon, p.host, p.kind, p.status, p.body,
+            p.feed_pub_ts, p.pub_ts,
+            p.url_canon if p.kind == "article" and p.image is not None else None,
+            bytearray(p.image) if p.image is not None else None,
+            p.w or None, p.h or None, p.fmt,
+            p.caption, p.phash if p.image is not None else None,
+        )
+        for p in corpus.pages.values()
+    ]
+    df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    return df.withColumn("url_hash", F.xxhash64("url_canon")).withColumn(
+        "url_bucket", F.pmod(F.xxhash64("url_canon"), F.lit(num_buckets)).cast("int")
+    )
+
+
+def hosts_df(spark: SparkSession, corpus: SynthCorpus) -> DataFrame:
+    rows = [
+        (h, int(info["crawl_delay_ms"]), "\n".join(info["disallow"]))
+        for h, info in corpus.hosts.items()
+    ]
+    return spark.createDataFrame(rows, HOSTS_SCHEMA)
+
+
+def preseen_df(spark: SparkSession, corpus: SynthCorpus) -> DataFrame:
+    rows = [
+        (u, int(r["article_id"]), r["pub_ts"], r["caption"])
+        for u, r in corpus.preseen.items()
+    ]
+    return spark.createDataFrame(rows, PRESEEN_SCHEMA)
+
+
+def seeds_df(spark: SparkSession, corpus: SynthCorpus) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, u) for i, u in enumerate(corpus.seeds)], ["seed_idx", "url"]
+    )

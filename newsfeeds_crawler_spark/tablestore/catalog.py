@@ -1,0 +1,253 @@
+"""Iceberg-semantics snapshot-pointer tables on plain Parquet.
+
+The sandbox has no iceberg-spark-runtime jar, so this module provides the
+minimal subset of Iceberg semantics the engine needs — atomic snapshot
+commits, time-travel reads, append vs copy-on-write overwrite, MERGE — behind
+an interface a real Iceberg catalog can replace 1:1 (``MERGE INTO`` etc.).
+
+Layout per table::
+
+    <root>/<table>/data/<commit-uuid>/part-*.parquet   (immutable)
+    <root>/<table>/_snapshots/v{N}.json                (manifest: data dirs)
+    <root>/<table>/_snapshots/LATEST                   (atomic pointer)
+
+A crashed job leaves orphan data dirs but never a dangling pointer: the
+pointer is flipped with ``os.replace`` (atomic on POSIX) only after the
+manifest and data files are fully written. That is the checkpoint/resume
+substrate demanded by BASELINE.json north_rule — resume simply reads the
+last pointed-to snapshot set and ignores orphans.
+
+Epoch-level atomicity across *multiple* tables (frontier+seen+hosts+feeds
+must advance together) is provided by :meth:`Catalog.commit_epoch` /
+:meth:`Catalog.last_epoch`, which write a root-level epoch manifest pinning
+one snapshot version per table, again pointer-flipped last.
+
+The reference analog of all this is MySQL transactional state
+(/root/reference/src/main/db/mysql-create-db.sql; upserts in
+dao/impl/MysqlFeedArticleDao.scala:58-74) — re-expressed as table snapshots
+because a 10^10-row frontier does not fit a row-store.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------ paths
+
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _snapdir(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "_snapshots")
+
+    def _pointer(self, name: str) -> str:
+        return os.path.join(self._snapdir(name), "LATEST")
+
+    # --------------------------------------------------------- snapshots
+
+    def current_version(self, name: str) -> int:
+        """Latest committed snapshot version; 0 if the table doesn't exist."""
+        try:
+            with open(self._pointer(name)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _manifest(self, name: str, version: int) -> dict:
+        with open(os.path.join(self._snapdir(name), f"v{version}.json")) as f:
+            return json.load(f)
+
+    def exists(self, name: str) -> bool:
+        return self.current_version(name) > 0
+
+    def _commit(self, name: str, data_dirs: list[str], meta: dict | None) -> int:
+        snapdir = self._snapdir(name)
+        os.makedirs(snapdir, exist_ok=True)
+        version = self.current_version(name) + 1
+        manifest = {"version": version, "data_dirs": data_dirs, "meta": meta or {}}
+        mpath = os.path.join(snapdir, f"v{version}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, mpath)
+        ptmp = self._pointer(name) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(ptmp, "w") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ptmp, self._pointer(name))  # the atomic commit point
+        return version
+
+    # ------------------------------------------------------------- write
+
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        meta: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Write ``df`` as a new snapshot. ``mode``:
+
+        - ``overwrite`` — snapshot references only the new files
+          (copy-on-write, for mutable state tables like ``frontier``);
+        - ``append`` — snapshot references prior files + new files
+          (for grow-only tables like ``seen_urls``/``articles``/``metrics``
+          — no rewrite of existing data, the scale-critical path).
+        """
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"bad mode {mode!r}")
+        commit_id = uuid.uuid4().hex
+        data_rel = os.path.join("data", commit_id)
+        out = os.path.join(self._tdir(name), data_rel)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out)
+        dirs = [data_rel]
+        if mode == "append" and self.exists(name):
+            dirs = self._manifest(name, self.current_version(name))["data_dirs"] + dirs
+        return self._commit(name, dirs, meta)
+
+    # -------------------------------------------------------------- read
+
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        v = self.current_version(name) if version is None else version
+        if v <= 0:
+            raise FileNotFoundError(f"table {name!r} has no committed snapshot")
+        dirs = self._manifest(name, v)["data_dirs"]
+        paths = [os.path.join(self._tdir(name), d) for d in dirs]
+        return self.spark.read.parquet(*paths)
+
+    def read_or_empty(self, name: str, schema) -> DataFrame:
+        if self.exists(name):
+            return self.read(name)
+        return self.spark.createDataFrame([], schema)
+
+    def meta(self, name: str, version: int | None = None) -> dict:
+        v = self.current_version(name) if version is None else version
+        return self._manifest(name, v)["meta"]
+
+    # ------------------------------------------------------------- merge
+
+    def merge(
+        self,
+        name: str,
+        source: DataFrame,
+        key: str,
+        update_cols: list[str] | None = None,
+    ) -> int:
+        """``MERGE INTO <name> USING source ON key WHEN MATCHED THEN UPDATE
+        WHEN NOT MATCHED THEN INSERT`` — upsert semantics of the reference's
+        DaoManager.scala:53-59 / MysqlFeedArticleDao.scala:58-74, expressed
+        as target-anti-join ∪ source (source wins on key collision).
+
+        Copy-on-write: fine for dimension-sized state (feeds/hosts); the
+        grow-only big tables use ``write(mode='append')`` instead. With a
+        real Iceberg catalog this becomes a genuine MERGE INTO with
+        positional deletes.
+        """
+        if not self.exists(name):
+            return self.write(name, source)
+        target = self.read(name)
+        if update_cols is None:
+            merged = target.join(source.select(key), on=key, how="left_anti").unionByName(
+                source.select(*target.columns)
+            )
+        else:
+            src = source.select(
+                F.col(key).alias(f"__k"),
+                *[F.col(c).alias(f"__u_{c}") for c in update_cols],
+            )
+            joined = target.join(src, target[key] == F.col("__k"), "left")
+            merged = joined.select(
+                *[
+                    (
+                        F.when(F.col("__k").isNotNull(), F.col(f"__u_{c}"))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c in update_cols
+                        else F.col(c)
+                    )
+                    for c in target.columns
+                ]
+            )
+            inserts = source.join(target.select(key), on=key, how="left_anti")
+            merged = merged.unionByName(inserts.select(*target.columns))
+        # materialize before overwriting the files we read from
+        merged = merged.localCheckpoint(eager=True)
+        return self.write(name, merged)
+
+    # ------------------------------------------------------ epoch commits
+
+    def _epochdir(self) -> str:
+        return os.path.join(self.root, "_epochs")
+
+    def commit_epoch(self, epoch: int, table_versions: dict[str, int],
+                     meta: dict | None = None) -> None:
+        """Atomically pin one snapshot version per table for ``epoch``."""
+        edir = self._epochdir()
+        os.makedirs(edir, exist_ok=True)
+        path = os.path.join(edir, f"e{epoch}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": epoch, "tables": table_versions, "meta": meta or {}}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        ptmp = os.path.join(edir, f"LATEST.tmp-{uuid.uuid4().hex[:8]}")
+        with open(ptmp, "w") as f:
+            f.write(str(epoch))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ptmp, os.path.join(edir, "LATEST"))
+
+    def last_epoch(self) -> int:
+        """Last fully-committed epoch, -1 if none."""
+        try:
+            with open(os.path.join(self._epochdir(), "LATEST")) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def epoch_tables(self, epoch: int) -> dict[str, int]:
+        with open(os.path.join(self._epochdir(), f"e{epoch}.json")) as f:
+            return json.load(f)["tables"]
+
+    def read_at_epoch(self, name: str, epoch: int) -> DataFrame:
+        return self.read(name, self.epoch_tables(epoch)[name])
+
+    # ----------------------------------------------------------- cleanup
+
+    def vacuum(self, name: str, keep_last: int = 2) -> int:
+        """Drop data dirs unreachable from the last ``keep_last`` snapshots.
+        Returns the number of directories removed."""
+        cur = self.current_version(name)
+        keep: set[str] = set()
+        for v in range(max(1, cur - keep_last + 1), cur + 1):
+            keep.update(self._manifest(name, v)["data_dirs"])
+        ddir = os.path.join(self._tdir(name), "data")
+        removed = 0
+        if os.path.isdir(ddir):
+            for d in os.listdir(ddir):
+                rel = os.path.join("data", d)
+                if rel not in keep:
+                    shutil.rmtree(os.path.join(ddir, d), ignore_errors=True)
+                    removed += 1
+        return removed

@@ -1,0 +1,89 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from newsfeeds_crawler_spark.tablestore import Catalog
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "warehouse"))
+
+
+def _df(spark, rows, cols=("k", "v")):
+    return spark.createDataFrame(rows, list(cols))
+
+
+def test_write_read_roundtrip(spark, cat):
+    v = cat.write("t", _df(spark, [(1, "a"), (2, "b")]))
+    assert v == 1
+    got = {(r["k"], r["v"]) for r in cat.read("t").collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_overwrite_creates_new_snapshot_and_time_travel(spark, cat):
+    cat.write("t", _df(spark, [(1, "a")]))
+    cat.write("t", _df(spark, [(9, "z")]))
+    assert cat.current_version("t") == 2
+    assert [r["k"] for r in cat.read("t").collect()] == [9]
+    assert [r["k"] for r in cat.read("t", version=1).collect()] == [1]
+
+
+def test_append_mode_accumulates_without_rewrite(spark, cat):
+    cat.write("log", _df(spark, [(1, "a")]), mode="append")
+    cat.write("log", _df(spark, [(2, "b")]), mode="append")
+    assert cat.read("log").count() == 2
+    # snapshot 2 references snapshot 1's files (no rewrite)
+    m1 = cat._manifest("log", 1)["data_dirs"]
+    m2 = cat._manifest("log", 2)["data_dirs"]
+    assert set(m1) < set(m2)
+
+
+def test_merge_upsert_semantics(spark, cat):
+    # reference: MysqlFeedArticleDao insert/update dispatch (DaoManager.scala:53-59)
+    cat.write("t", _df(spark, [(1, "old"), (2, "keep")]))
+    cat.merge("t", _df(spark, [(1, "new"), (3, "ins")]), key="k")
+    got = dict((r["k"], r["v"]) for r in cat.read("t").collect())
+    assert got == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_merge_update_subset_of_columns(spark, cat):
+    cat.write("f", _df(spark, [(1, "u1", "h1"), (2, "u2", "h2")], ("k", "v", "w")))
+    cat.merge("f", _df(spark, [(1, "V1"), (5, "V5")], ("k", "v")).withColumn(
+        "w", F.lit("H")
+    ), key="k", update_cols=["v"])
+    got = {(r["k"], r["v"], r["w"]) for r in cat.read("f").collect()}
+    assert got == {(1, "V1", "h1"), (2, "u2", "h2"), (5, "V5", "H")}
+
+
+def test_crash_leaves_no_dangling_pointer(spark, cat, tmp_path):
+    cat.write("t", _df(spark, [(1, "a")]))
+    # simulate a crash: data files written but pointer never flipped
+    orphan = os.path.join(cat._tdir("t"), "data", "orphan")
+    _df(spark, [(99, "crash")]).write.parquet(orphan)
+    assert cat.current_version("t") == 1
+    assert [r["k"] for r in cat.read("t").collect()] == [1]
+
+
+def test_epoch_commit_and_resume_point(spark, cat):
+    v_f = cat.write("frontier", _df(spark, [(1, "pending")]))
+    v_s = cat.write("seen", _df(spark, [(10, "u")]))
+    cat.commit_epoch(0, {"frontier": v_f, "seen": v_s})
+    # epoch 1 advances frontier but "crashes" before commit_epoch
+    cat.write("frontier", _df(spark, [(1, "done")]))
+    assert cat.last_epoch() == 0
+    got = [r["v"] for r in cat.read_at_epoch("frontier", 0).collect()]
+    assert got == ["pending"]  # resume sees the epoch-0 state, not the orphan
+
+
+def test_vacuum_keeps_reachable(spark, cat):
+    cat.write("t", _df(spark, [(1, "a")]))
+    cat.write("t", _df(spark, [(2, "b")]))
+    cat.write("t", _df(spark, [(3, "c")]))
+    removed = cat.vacuum("t", keep_last=2)
+    assert removed == 1
+    assert [r["k"] for r in cat.read("t").collect()] == [3]
+    assert [r["k"] for r in cat.read("t", version=2).collect()] == [2]
