@@ -1,0 +1,96 @@
+"""Fetch (corpus join) + feed parse (Arrow-vectorized UDTF) stages.
+
+S5: the sandbox has no network, so the HTTP GET source
+(/root/reference/.../http/impl/DefaultHttpFacade.scala:59-82) becomes a bulk
+equi-join ``admitted ⋈ corpus ON url_canon`` — the corpus table IS the web.
+Non-200/missing rows yield a null body (P5), preserving the reference's
+error semantics. At 10^10 scale both sides are bucketed by
+``pmod(xxhash64(url_canon), B)`` so this is a storage-partitioned join.
+
+U1: RSS parse is one ``pandas_udf`` over the body column (Arrow batches, no
+per-row Python registration) returning (feed_pub_ts, parse_ok, links[],
+tss[]) — exploded to item rows with ``posexplode(arrays_zip(...))`` so the
+1-row-in/N-rows-out UDTF shape (RomeFeedParser.scala:20-34) stays columnar.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from newsfeeds_crawler_spark.functions.feedparse import parse_feed_py
+
+PARSE_RESULT = StructType(
+    [
+        StructField("feed_pub_ts", TimestampType()),
+        StructField("parse_ok", BooleanType()),
+        StructField("links", ArrayType(StringType())),
+        StructField("tss", ArrayType(TimestampType())),
+    ]
+)
+
+
+@pandas_udf(PARSE_RESULT)
+def parse_feed_udf(body: pd.Series) -> pd.DataFrame:
+    """Vectorized RSS parse: one Arrow batch in, one struct column out."""
+    out = {"feed_pub_ts": [], "parse_ok": [], "links": [], "tss": []}
+    for b in body:
+        parsed = parse_feed_py(b if isinstance(b, str) else None)
+        if parsed is None:
+            out["feed_pub_ts"].append(None)
+            out["parse_ok"].append(False)
+            out["links"].append(None)
+            out["tss"].append(None)
+        else:
+            feed_ts, items = parsed
+            out["feed_pub_ts"].append(feed_ts)
+            out["parse_ok"].append(True)
+            out["links"].append([l for l, _ in items])
+            out["tss"].append([t for _, t in items])
+    return pd.DataFrame(out)
+
+
+def fetch(admitted: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Simulated-fetch join. Adds body (null unless status 200) and the
+    corpus payload columns. Left join: URLs absent from the corpus behave
+    like connection failures (null body)."""
+    payload = corpus.select(
+        F.col("url_canon").alias("__cu"),
+        F.col("status"),
+        F.col("body").alias("__raw_body"),
+        "bytes", "w", "h", "fmt", "caption", "phash",
+    )
+    fetched = admitted.join(payload, admitted["url_canon"] == F.col("__cu"), "left")
+    return fetched.withColumn(
+        "body",
+        F.when(F.col("status") == 200, F.col("__raw_body")).otherwise(
+            F.lit(None).cast("string")
+        ),
+    ).drop("__cu", "__raw_body")
+
+
+def explode_items(parsed_feeds: DataFrame) -> DataFrame:
+    """UDTF explode: one row per feed item, in document order (item_idx)."""
+    zipped = parsed_feeds.withColumn(
+        "__items", F.arrays_zip(F.col("parsed.links"), F.col("parsed.tss"))
+    )
+    return (
+        zipped.select(
+            F.col("feed_canon"),
+            F.col("admit_rank"),
+            F.posexplode(F.col("__items")).alias("item_idx", "__it"),
+        )
+        .withColumn("item_url", F.col("__it.links"))
+        .withColumn("item_ts", F.col("__it.tss"))
+        .drop("__it")
+    )

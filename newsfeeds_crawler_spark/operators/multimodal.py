@@ -1,0 +1,141 @@
+"""Multimodal (image) stages — Arrow-batched decode/derive over binary columns.
+
+U4 (no reference analog; required by BASELINE.json input_hint): decode
+``bytes+fmt`` into pixels entirely inside ``mapInPandas`` batches — the
+Spark-side plumbing (schema, batch shape, partition independence) is real;
+the codecs are the numpy/zlib ones in ``functions.codecs``. Decoded pixels
+are written back as a raw RGB binary column + (w, h), with a recomputed
+perceptual hash for the integrity check.
+
+``resize_images`` / ``sample_frames`` show the same plumbing for the
+transforms a training-data pipeline needs; frame sampling over video is
+STUBBED (no video codec in the sandbox) behind a deterministic fake that
+treats the payload as concatenated frames.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from newsfeeds_crawler_spark.functions import codecs
+
+DECODED_FIELDS = [
+    StructField("pixels", BinaryType()),
+    StructField("dec_w", IntegerType()),
+    StructField("dec_h", IntegerType()),
+    StructField("dec_phash", LongType()),
+    StructField("decode_error", StringType()),
+]
+
+
+def decode_images(df: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fmt") -> DataFrame:
+    """Append pixels/dec_w/dec_h/dec_phash/decode_error columns.
+
+    mapInPandas keeps Arrow batches end-to-end; per-image decode is numpy.
+    Decode failures land in ``decode_error`` instead of failing the stage
+    (errors quarantine, reference's ErrorDumping analog).
+    """
+    schema = StructType(df.schema.fields + DECODED_FIELDS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels, ws, hs, phs, errs = [], [], [], [], []
+            for data, fmt in zip(pdf[bytes_col], pdf[fmt_col]):
+                if data is None or fmt is None:
+                    pixels.append(None); ws.append(None); hs.append(None)
+                    phs.append(None); errs.append(None)
+                    continue
+                try:
+                    img = codecs.decode_image(bytes(data), fmt)
+                    pixels.append(img.tobytes())
+                    hs.append(img.shape[0]); ws.append(img.shape[1])
+                    phs.append(codecs.phash64(img)); errs.append(None)
+                except Exception as e:  # quarantine, don't kill the epoch
+                    pixels.append(None); ws.append(None); hs.append(None)
+                    phs.append(None); errs.append(f"{type(e).__name__}: {e}")
+            out = pdf.copy()
+            out["pixels"] = pixels
+            out["dec_w"] = pd.array(ws, dtype="Int32")
+            out["dec_h"] = pd.array(hs, dtype="Int32")
+            out["dec_phash"] = pd.array(phs, dtype="Int64")
+            out["decode_error"] = errs
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    pixels_col: str = "pixels",
+    w_col: str = "dec_w",
+    h_col: str = "dec_h",
+) -> DataFrame:
+    """Nearest-neighbor resize of raw RGB pixel buffers (numpy gather)."""
+    schema = StructType(
+        df.schema.fields
+        + [StructField("resized", BinaryType()), StructField("res_w", IntegerType()),
+           StructField("res_h", IntegerType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_px = []
+            for buf, w, h in zip(pdf[pixels_col], pdf[w_col], pdf[h_col]):
+                if buf is None or pd.isna(w) or pd.isna(h):
+                    out_px.append(None)
+                    continue
+                img = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(int(h), int(w), 3)
+                yi = (np.arange(out_h) * int(h)) // out_h
+                xi = (np.arange(out_w) * int(w)) // out_w
+                out_px.append(img[yi][:, xi].tobytes())
+            out = pdf.copy()
+            out["resized"] = out_px
+            out["res_w"] = out_w
+            out["res_h"] = out_h
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def sample_frames(df: DataFrame, every_n: int, frame_bytes: int,
+                  video_col: str = "video") -> DataFrame:
+    """STUB video frame sampler: the sandbox has no video codec, so the
+    payload is treated as concatenated fixed-size frames and every ``n``-th
+    is taken — the distributed plumbing (explode to one row per frame,
+    deterministic frame_idx) is the real part."""
+    schema = StructType(
+        df.schema.fields
+        + [StructField("frame_idx", IntegerType()), StructField("frame", BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                buf = row[video_col]
+                if buf is None:
+                    continue
+                buf = bytes(buf)
+                for i in range(0, len(buf) // frame_bytes, every_n):
+                    r = row.to_dict()
+                    r["frame_idx"] = i
+                    r["frame"] = buf[i * frame_bytes : (i + 1) * frame_bytes]
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(run, schema)

@@ -1,0 +1,101 @@
+"""Per-host politeness admission — the W1–W5 crawl-order core as DataFrame ops.
+
+Reference: HttpManager.scala:65-143 — a single global FIFO with skip-scan
+(a free worker takes the first task whose host is admissible, skipping
+blocked hosts) under a global ``workers`` in-flight cap. Deterministic
+virtual-time re-expression (SURVEY.md §2.5):
+
+- FIFO order      = (e_epoch, e_rank, e_sub) composite key — W1;
+- per-host pick   = row_number over Window.partitionBy(host) == 1 — W2;
+- host admissible = epoch >= last_access_epoch + delay_epochs — W3;
+- workers cap     = global FIFO row_number <= workers — W4;
+- tick            = one epoch of the driver loop — W5.
+
+Scale note (10^10 frontier): the per-host window shuffles on ``host`` — a
+hot host is ONE partition's worth of rows, so the pending set is pre-ranked
+with ``salt = pmod(e_sub, S)`` sub-windows when a skew threshold trips (see
+``admit``'s ``salt_partitions``): rank-1-per-(host,salt) first (parallel),
+then rank-1-per-host over the S survivors — two narrow windows instead of
+one skewed one. The global cap ranks only the per-host winners
+(cardinality <= #admissible hosts, not frontier size), and only the top
+``workers`` of them; when ``workers`` >= candidate count the sort is skipped
+entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FIFO_KEY = ["e_epoch", "e_rank", "e_sub"]
+
+
+def robots_split(pending: DataFrame, hosts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split pending tasks into (allowed, denied) by robots disallow prefixes.
+
+    ``hosts.robots_disallow`` is a newline-joined prefix list. The path is
+    derived from the canonical URL. New-engine semantics (north_star); no
+    reference analog.
+    """
+    # path = canonical URL minus "scheme://host" (canonical path starts at '/')
+    path = F.expr(
+        "substring(substring_index(url_canon, '://', -1), "
+        "length(substring_index(substring_index(url_canon, '://', -1), '/', 1)) + 1)"
+    )
+    joined = pending.join(
+        F.broadcast(hosts.select("host", "robots_disallow")), "host", "left"
+    ).withColumn("__path", F.when(path == "", F.lit("/")).otherwise(path))
+    denied_cond = F.col("robots_disallow").isNotNull() & (
+        F.exists(
+            F.split(F.col("robots_disallow"), "\n"),
+            lambda p: (p != F.lit("")) & F.col("__path").startswith(p),
+        )
+    )
+    allowed = joined.filter(~denied_cond).drop("robots_disallow", "__path")
+    denied = joined.filter(denied_cond).drop("robots_disallow", "__path")
+    return allowed, denied
+
+
+def admit(
+    pending: DataFrame,
+    host_state: DataFrame,
+    epoch: int,
+    workers: int,
+    salt_partitions: int = 0,
+) -> DataFrame:
+    """Admit up to ``workers`` tasks for this epoch, one per admissible host,
+    FIFO order. Returns the admitted tasks with ``admit_rank`` (0-based).
+
+    ``host_state``: host, last_access_epoch, delay_epochs (broadcast dim).
+    ``salt_partitions`` > 0 pre-ranks with a salted sub-window (hot-host skew).
+    """
+    key = [F.col(c) for c in FIFO_KEY]
+    if salt_partitions > 0:
+        w_salt = Window.partitionBy("host", "__salt").orderBy(*key)
+        pending = (
+            pending.withColumn(
+                "__salt", F.pmod(F.col("e_sub"), F.lit(salt_partitions))
+            )
+            .withColumn("__rs", F.row_number().over(w_salt))
+            .filter(F.col("__rs") == 1)
+            .drop("__salt", "__rs")
+        )
+    w_host = Window.partitionBy("host").orderBy(*key)
+    head = pending.withColumn("__rn_host", F.row_number().over(w_host)).filter(
+        F.col("__rn_host") == 1
+    )
+    cand = head.join(
+        F.broadcast(host_state.select("host", "last_access_epoch", "delay_epochs")),
+        "host",
+        "left",
+    ).filter(
+        F.col("last_access_epoch").isNull()
+        | (F.lit(epoch) >= F.col("last_access_epoch") + F.col("delay_epochs"))
+    )
+    w_glob = Window.orderBy(*key)  # candidates <= #admissible hosts, not frontier
+    admitted = (
+        cand.withColumn("admit_rank", F.row_number().over(w_glob) - 1)
+        .filter(F.col("admit_rank") < workers)
+        .drop("__rn_host", "last_access_epoch", "delay_epochs")
+    )
+    return admitted

@@ -134,16 +134,16 @@ def simulate(corpus: SynthCorpus, max_epochs: int = 100_000) -> OracleResult:
         # W2/W3/W4: FIFO skip-scan, one per host, global workers cap
         taken_hosts: set[str] = set()
         admitted: list[Task] = []
-        stalls = 0
         for t in pending:
             if len(admitted) >= spec.workers:
                 break
             la = last_access.get(t.host)
             if t.host in taken_hosts or (la is not None and epoch < la + delay_epochs[t.host]):
-                stalls += 1
                 continue
             admitted.append(t)
             taken_hosts.add(t.host)
+        # politeness-stall metric: tasks left waiting this tick
+        stalls = len(pending) - len(admitted)
 
         dedup_hits = 0
         enqueued = 0

@@ -1,0 +1,506 @@
+"""The batch-iterative crawl driver: one deterministic DataFrame DAG per epoch.
+
+Replaces the reference's actor topology (Bootstrap.scala:24-53 spawning
+FeedManager/HttpManager/DaoManager/... actors) with a driver loop of
+micro-epochs. Each epoch is one logical plan:
+
+    pending ──robots──▶ admit (politeness windows W1–W5)
+            ──fetch (corpus join, S5/P5)──▶ split feed|article
+    feeds:    parse UDTF (U1) ─▶ explode ─▶ in-feed dedup ─▶ seen probe (J2)
+              ─▶ recency predicate (P1/P2) ─▶ enqueue next-epoch tasks
+    articles: caption extract (U2/P3) ─▶ image decode (U4)
+              ─▶ upsert rows into the articles log (S6)
+    then: frontier/hosts/feeds state snapshots, per-bucket metrics,
+          watermark completion (A1/A2/S7), atomic multi-table epoch commit.
+
+Determinism discipline: no wall clock, every ordering from the composite
+FIFO key, fixed shuffle partitions — the run is a pure function of
+(corpus, seeds, config), which is what lets tests/test_crawl_e2e.py demand
+EXACT crawl-order/seen-set equality vs oracle/refsim.py, and what makes a
+mid-epoch kill resumable (state advances only via Catalog.commit_epoch).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from newsfeeds_crawler_spark.functions.predicates import should_fetch
+from newsfeeds_crawler_spark.functions.urls import (
+    canonicalize_url,
+    host_bucket,
+    url_host,
+)
+from newsfeeds_crawler_spark.operators.extract import extract_caption
+from newsfeeds_crawler_spark.operators.fetchparse import (
+    explode_items,
+    fetch,
+    parse_feed_udf,
+)
+from newsfeeds_crawler_spark.operators.multimodal import decode_images
+from newsfeeds_crawler_spark.operators.politeness import admit, robots_split
+from newsfeeds_crawler_spark.operators.seen import latest_articles, probe
+from newsfeeds_crawler_spark.plans import state as S
+from newsfeeds_crawler_spark.tablestore import Catalog
+
+
+@dataclass
+class CrawlConfig:
+    workers: int = 3                 # reference default http.workersNum=3
+    tick_ms: int = 1000              # reference http.hostAccessInterval=1000
+    num_host_buckets: int = 16
+    salt_partitions: int = 0         # >0 enables salted pre-rank (hot hosts)
+    max_epochs: int = 10_000
+    compact_articles_every: int = 0  # 0 = never
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        corpus: DataFrame,
+        hosts: DataFrame,      # host, crawl_delay_ms, robots_disallow
+        seeds: DataFrame,      # seed_idx, url
+        preseen: DataFrame,    # url_canon, article_id, pub_ts, caption
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = config or CrawlConfig()
+        self.cat = Catalog(spark, workdir)
+        self.corpus = corpus
+        self._hosts_src = hosts
+        self._seeds_src = seeds
+        self._preseen_src = preseen
+
+    # ------------------------------------------------------------- init
+
+    def init_state(self) -> dict[str, int]:
+        """Epoch-0 state: seed fan-out (S2/J1), host dimension, preseen store."""
+        cfg, cat = self.cfg, self.cat
+        f0 = (
+            self._seeds_src.select(
+                "seed_idx", "url", canonicalize_url("url").alias("url_canon")
+            )
+            .withColumn("url_hash", F.xxhash64("url_canon"))
+            .withColumn("host", url_host(F.col("url_canon"), canonical=True))
+            .select(
+                "url",
+                "url_canon",
+                "url_hash",
+                "host",
+                F.lit("feed").alias("kind"),
+                F.col("url_canon").alias("feed_canon"),
+                F.lit(None).cast("timestamp").alias("parsed_pub_ts"),
+                F.lit(0).cast("int").alias("e_epoch"),
+                F.col("seed_idx").cast("int").alias("e_rank"),
+                F.lit(0).cast("int").alias("e_sub"),
+                F.lit("pending").alias("state"),
+                F.lit(None).cast("int").alias("fetch_epoch"),
+                F.lit(None).cast("int").alias("admit_rank"),
+            )
+        )
+        hosts0 = self._hosts_src.select(
+            "host",
+            F.xxhash64("host").alias("host_hash"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("crawl_delay_ms") / F.lit(cfg.tick_ms)).cast("int"),
+            ).alias("delay_epochs"),
+            "robots_disallow",
+            F.lit(None).cast("int").alias("last_access_epoch"),
+        )
+        feeds0 = f0.select(
+            F.col("feed_canon"),
+            "url",
+            "host",
+            F.col("e_rank").alias("seed_idx"),
+            F.lit("pending").alias("state"),
+            F.lit(None).cast("timestamp").alias("parsed_pub_ts"),
+            F.lit(None).cast("timestamp").alias("last_pub_ts"),
+            F.lit(None).cast("int").alias("done_epoch"),
+        )
+        arts0 = self._preseen_src.select(
+            "url_canon",
+            F.xxhash64("url_canon").alias("url_hash"),
+            F.col("article_id").cast("long"),
+            "pub_ts",
+            "caption",
+            F.lit(None).cast("string").alias("feed_canon"),
+            F.lit("preseen").alias("action"),
+            F.lit(-1).cast("int").alias("epoch"),
+            F.lit(None).cast("long").alias("phash"),
+            F.lit(None).cast("int").alias("w"),
+            F.lit(None).cast("int").alias("h"),
+            F.lit(None).cast("string").alias("fmt"),
+            F.lit(None).cast("binary").alias("pixels"),
+            F.lit(None).cast("long").alias("dec_phash"),
+        )
+        empty_metrics = self.spark.createDataFrame([], S.METRICS_SCHEMA)
+        empty_errors = self.spark.createDataFrame([], S.ERRORS_SCHEMA)
+        versions = {
+            "frontier": self.cat.write("frontier", f0),
+            "hosts": self.cat.write("hosts", hosts0),
+            "feeds": self.cat.write("feeds", feeds0),
+            "articles": self.cat.write("articles", arts0, mode="append"),
+            "metrics": self.cat.write("metrics", empty_metrics, mode="append"),
+            "errors": self.cat.write("errors", empty_errors, mode="append"),
+        }
+        cat.commit_epoch(0, versions, meta={"event": "init"})
+        return versions
+
+    # ------------------------------------------------------------- tick
+
+    def _run_tick(self, tick: int, v: dict[str, int]):
+        cfg, cat = self.cfg, self.cat
+        frontier = cat.read("frontier", v["frontier"])
+        pending = frontier.filter(F.col("state") == "pending")
+        hosts = cat.read("hosts", v["hosts"])
+
+        allowed, denied = robots_split(pending, hosts)
+        admitted = admit(
+            allowed, hosts, tick, cfg.workers, cfg.salt_partitions
+        ).localCheckpoint(eager=True)
+        denied = denied.localCheckpoint(eager=True)
+        n_admitted = admitted.count()
+        n_denied = denied.count()
+
+        if n_admitted == 0 and n_denied == 0:
+            if pending.isEmpty():
+                return None  # A3: global convergence (ProjectManager.scala:37-51)
+            # every pending host is politeness-blocked: a pure stall tick
+            n_stall = pending.count()
+            mrow = self.spark.createDataFrame(
+                [(tick, -1, 0, n_stall, 0, 0, 0)], S.METRICS_SCHEMA
+            )
+            v = dict(v)
+            v["metrics"] = cat.write("metrics", mrow, mode="append")
+            return v, {"epoch": tick, "admitted": 0, "stalls": n_stall}
+
+        store_latest = latest_articles(cat.read("articles", v["articles"]))
+
+        # ---- fetch (S5) + split ------------------------------------------
+        fetched = fetch(admitted, self.corpus).localCheckpoint(eager=True)
+        feeds_f = (
+            fetched.filter(F.col("kind") == "feed")
+            .withColumn("parsed", parse_feed_udf(F.col("body")))
+            .localCheckpoint(eager=True)
+        )
+        arts_f = fetched.filter(F.col("kind") == "article")
+
+        # ---- feed branch: outcomes + item pipeline -----------------------
+        feed_out = feeds_f.select(
+            F.col("url_canon").alias("u_feed"),
+            F.when(
+                F.col("body").isNull() | ~F.col("parsed.parse_ok"), F.lit("dead")
+            )
+            .when(F.size("parsed.links") == 0, F.lit("done_empty"))
+            .otherwise(F.lit("crawling"))
+            .alias("f_state"),
+            F.col("parsed.feed_pub_ts").alias("f_parsed_pub_ts"),
+        )
+
+        crawling = feeds_f.filter(
+            F.col("body").isNotNull()
+            & F.col("parsed.parse_ok")
+            & (F.size("parsed.links") > 0)
+        )
+        items = explode_items(crawling.select("feed_canon", "admit_rank", "parsed"))
+        items = (
+            items.withColumn("url_canon", canonicalize_url("item_url"))
+            .withColumn("item_host", url_host(F.col("url_canon"), canonical=True))
+            .withColumn("item_hash", F.xxhash64("url_canon"))
+        )
+        w_dedup = Window.partitionBy("feed_canon", "url_canon").orderBy("item_idx")
+        items = (
+            items.withColumn("__rn", F.row_number().over(w_dedup))
+            .filter(F.col("__rn") == 1)  # deviation: reference crashes on dups
+            .drop("__rn")
+        )
+        probed = probe(items, store_latest).withColumn(
+            "fetch_flag",
+            should_fetch(
+                F.col("item_ts"),
+                F.when(F.col("__seen"), F.lit(1)),
+                F.col("stored_pub_ts"),
+            ),
+        ).localCheckpoint(eager=True)
+
+        w_sub = Window.partitionBy("feed_canon").orderBy("item_idx")
+        new_tasks = (
+            probed.filter(F.col("fetch_flag"))
+            .withColumn("e_sub", F.row_number().over(w_sub) - 1)
+            .select(
+                F.col("item_url").alias("url"),
+                "url_canon",
+                F.col("item_hash").alias("url_hash"),
+                F.col("item_host").alias("host"),
+                F.lit("article").alias("kind"),
+                "feed_canon",
+                F.col("item_ts").alias("parsed_pub_ts"),
+                F.lit(tick + 1).cast("int").alias("e_epoch"),
+                F.col("admit_rank").cast("int").alias("e_rank"),
+                F.col("e_sub").cast("int"),
+                F.lit("pending").alias("state"),
+                F.lit(None).cast("int").alias("fetch_epoch"),
+                F.lit(None).cast("int").alias("admit_rank"),
+            )
+        )
+
+        # ---- article branch: extract (U2) + decode (U4) + upsert (S6) ----
+        arts = arts_f.withColumn("caption_x", extract_caption(F.col("body")))
+        arts = arts.withColumn(
+            "a_state",
+            F.when(F.col("body").isNull(), F.lit("skipped"))        # P3 null page
+            .when(F.col("caption_x").isNull(), F.lit("skipped"))    # P3 null extract
+            .otherwise(F.lit("done")),
+        ).localCheckpoint(eager=True)
+        decoded = decode_images(arts.filter(F.col("a_state") == "done"))
+        prior = store_latest.select(
+            F.col("url_canon").alias("__pk"),
+            F.col("article_id").alias("prior_id"),
+        )
+        article_rows = (
+            decoded.join(prior, decoded["url_canon"] == F.col("__pk"), "left")
+            .select(
+                "url_canon",
+                "url_hash",
+                F.col("prior_id").alias("article_id"),
+                F.col("parsed_pub_ts").alias("pub_ts"),
+                F.col("caption_x").alias("caption"),
+                "feed_canon",
+                F.when(F.col("__pk").isNotNull(), F.lit("update"))
+                .otherwise(F.lit("insert"))
+                .alias("action"),
+                F.lit(tick).cast("int").alias("epoch"),
+                "phash",
+                "w",
+                "h",
+                "fmt",
+                "pixels",
+                "dec_phash",
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        # ---- frontier state transitions ----------------------------------
+        key = ["url_canon", "e_epoch", "e_rank", "e_sub"]
+        upd = (
+            feeds_f.select(
+                *key,
+                F.lit("fetched").alias("new_state"),
+                F.lit(tick).cast("int").alias("new_fetch_epoch"),
+                F.col("admit_rank").alias("new_admit_rank"),
+            )
+            .unionByName(
+                arts.select(
+                    *key,
+                    F.when(F.col("a_state") == "done", F.lit("done"))
+                    .otherwise(F.lit("skipped"))
+                    .alias("new_state"),
+                    F.lit(tick).cast("int").alias("new_fetch_epoch"),
+                    F.col("admit_rank").alias("new_admit_rank"),
+                )
+            )
+            .unionByName(
+                denied.select(
+                    *key,
+                    F.lit("robots_denied").alias("new_state"),
+                    F.lit(None).cast("int").alias("new_fetch_epoch"),
+                    F.lit(None).cast("int").alias("new_admit_rank"),
+                )
+            )
+        )
+        frontier_new = (
+            frontier.join(upd, on=key, how="left")
+            .select(
+                "url",
+                *key[:1],
+                "url_hash",
+                "host",
+                "kind",
+                "feed_canon",
+                "parsed_pub_ts",
+                "e_epoch",
+                "e_rank",
+                "e_sub",
+                F.coalesce("new_state", "state").alias("state"),
+                F.coalesce("new_fetch_epoch", "fetch_epoch").alias("fetch_epoch"),
+                F.coalesce("new_admit_rank", "admit_rank").alias("admit_rank"),
+            )
+            .select(*[f.name for f in S.FRONTIER_SCHEMA.fields])
+            .unionByName(new_tasks)
+        )
+
+        # ---- hosts politeness state (A4) ---------------------------------
+        hosts_new = (
+            hosts.join(
+                admitted.select("host").distinct().withColumn(
+                    "__la", F.lit(tick).cast("int")
+                ),
+                "host",
+                "left",
+            )
+            .withColumn(
+                "last_access_epoch", F.coalesce("__la", "last_access_epoch")
+            )
+            .drop("__la")
+            .select(*[f.name for f in S.HOSTS_SCHEMA.fields])
+        )
+
+        # ---- feeds table: outcomes + watermark completion (A1/A2/S7) -----
+        feeds_t = cat.read("feeds", v["feeds"])
+        fu = feed_out.unionByName(
+            denied.filter(F.col("kind") == "feed").select(
+                F.col("url_canon").alias("u_feed"),
+                F.lit("dead").alias("f_state"),
+                F.lit(None).cast("timestamp").alias("f_parsed_pub_ts"),
+            )
+        )
+        feeds_mid = feeds_t.join(
+            fu, feeds_t["feed_canon"] == fu["u_feed"], "left"
+        ).select(
+            "feed_canon",
+            "url",
+            "host",
+            "seed_idx",
+            F.coalesce("f_state", "state").alias("state"),
+            F.coalesce("f_parsed_pub_ts", "parsed_pub_ts").alias("parsed_pub_ts"),
+            "last_pub_ts",
+            "done_epoch",
+        )
+        pend_cnt = frontier_new.filter(
+            (F.col("state") == "pending") & (F.col("kind") == "article")
+        ).groupBy("feed_canon").agg(F.count(F.lit(1)).alias("__np"))
+        completing = (F.col("state") == "crawling") & (
+            F.coalesce(F.col("__np"), F.lit(0)) == 0
+        )
+        feeds_new = (
+            feeds_mid.join(pend_cnt, "feed_canon", "left")
+            .select(
+                "feed_canon",
+                "url",
+                "host",
+                "seed_idx",
+                F.when(completing, F.lit("done")).otherwise(F.col("state")).alias(
+                    "state"
+                ),
+                "parsed_pub_ts",
+                F.when(completing, F.col("parsed_pub_ts"))
+                .otherwise(F.col("last_pub_ts"))
+                .alias("last_pub_ts"),
+                F.when(completing, F.lit(tick).cast("int"))
+                .otherwise(F.col("done_epoch"))
+                .alias("done_epoch"),
+            )
+        )
+
+        # ---- per-bucket metrics (north_star observability) ----------------
+        B = cfg.num_host_buckets
+        def cnt(df, name, col="host"):
+            return df.groupBy(host_bucket(F.col(col), B).alias("host_bucket")).agg(
+                F.count(F.lit(1)).alias(name)
+            )
+        m_fetch = cnt(admitted, "urls_fetched")
+        m_pend = cnt(pending, "n_pending")
+        m_hits = cnt(probed.filter(F.col("__seen")), "dedup_hits", col="item_host")
+        m_enq = cnt(new_tasks, "enqueued")
+        m_rob = cnt(denied, "robots_denied")
+        metrics_new = (
+            m_pend.join(m_fetch, "host_bucket", "full")
+            .join(m_hits, "host_bucket", "full")
+            .join(m_enq, "host_bucket", "full")
+            .join(m_rob, "host_bucket", "full")
+            .select(
+                F.lit(tick).cast("int").alias("epoch"),
+                "host_bucket",
+                F.coalesce("urls_fetched", F.lit(0)).cast("long").alias("urls_fetched"),
+                (
+                    F.coalesce("n_pending", F.lit(0))
+                    - F.coalesce("urls_fetched", F.lit(0))
+                    - F.coalesce("robots_denied", F.lit(0))
+                ).cast("long").alias("politeness_stalls"),
+                F.coalesce("dedup_hits", F.lit(0)).cast("long").alias("dedup_hits"),
+                F.coalesce("enqueued", F.lit(0)).cast("long").alias("enqueued"),
+                F.coalesce("robots_denied", F.lit(0)).cast("long").alias("robots_denied"),
+            )
+        )
+
+        # ---- decode-error quarantine (S8) ---------------------------------
+        errors_new = decoded.filter(F.col("decode_error").isNotNull()).select(
+            F.lit(tick).cast("int").alias("epoch"),
+            F.lit("decode").alias("stage"),
+            "url_canon",
+            F.col("decode_error").alias("error"),
+        )
+
+        # ---- snapshot commits ---------------------------------------------
+        nv = dict(v)
+        nv["frontier"] = cat.write("frontier", frontier_new)
+        nv["hosts"] = cat.write("hosts", hosts_new)
+        nv["feeds"] = cat.write("feeds", feeds_new)
+        nv["articles"] = cat.write("articles", article_rows, mode="append")
+        nv["metrics"] = cat.write("metrics", metrics_new, mode="append")
+        nv["errors"] = cat.write("errors", errors_new, mode="append")
+
+        summary = {
+            "epoch": tick,
+            "admitted": n_admitted,
+            "robots_denied": n_denied,
+        }
+        return nv, summary
+
+    # -------------------------------------------------------------- run
+
+    def run(self, resume: bool = True, progress: bool = False) -> dict:
+        cat, cfg = self.cat, self.cfg
+        last = cat.last_epoch() if resume else -1
+        if last < 0:
+            versions = self.init_state()
+            last = 0
+        else:
+            versions = cat.epoch_tables(last)
+        tick = last
+        while tick < cfg.max_epochs:
+            result = self._run_tick(tick, versions)
+            if result is None:
+                break
+            versions, meta = result
+            cat.commit_epoch(tick + 1, versions, meta=meta)
+            if progress:
+                print(f"[crawl] {meta}")
+            if (
+                cfg.compact_articles_every
+                and (tick + 1) % cfg.compact_articles_every == 0
+            ):
+                compacted = latest_articles(cat.read("articles", versions["articles"]))
+                versions = dict(versions)
+                versions["articles"] = cat.write(
+                    "articles", compacted.localCheckpoint(eager=True), mode="overwrite"
+                )
+                cat.commit_epoch(tick + 1, versions, meta={"event": "compact"})
+            tick += 1
+        return {"epochs": tick, "versions": versions}
+
+    # ------------------------------------------------------ result views
+
+    def crawl_order(self) -> DataFrame:
+        """Fetched URLs in (fetch_epoch, admit_rank) order — the golden
+        sequence compared against the oracle."""
+        return (
+            self.cat.read("frontier")
+            .filter(F.col("fetch_epoch").isNotNull())
+            .select("url_canon", "fetch_epoch", "admit_rank")
+            .orderBy("fetch_epoch", "admit_rank")
+        )
+
+    def articles_final(self) -> DataFrame:
+        return latest_articles(self.cat.read("articles"))
+
+    def feeds_final(self) -> DataFrame:
+        return self.cat.read("feeds")
+
+    def metrics_df(self) -> DataFrame:
+        return self.cat.read("metrics")

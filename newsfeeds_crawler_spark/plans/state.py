@@ -1,0 +1,108 @@
+"""State-table schemas (SURVEY.md §1.3, FIXTURES.md §2).
+
+Append-mode tables (articles/metrics/errors) must keep ONE schema across all
+snapshots — every writer conforms through these StructTypes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# parsedItemsMap + HttpManager.taskList analog (FeedManager.scala:37,
+# HttpManager.scala:40) — one row per crawl task, FIFO key (e_epoch, e_rank, e_sub)
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("url_canon", StringType(), False),
+        StructField("url_hash", LongType(), False),
+        StructField("host", StringType(), False),
+        StructField("kind", StringType(), False),            # feed | article
+        StructField("feed_canon", StringType(), True),
+        StructField("parsed_pub_ts", TimestampType(), True),  # item ts from RSS
+        StructField("e_epoch", IntegerType(), False),
+        StructField("e_rank", IntegerType(), False),
+        StructField("e_sub", IntegerType(), False),
+        # state: pending | fetched | done | skipped | robots_denied
+        StructField("state", StringType(), False),
+        StructField("fetch_epoch", IntegerType(), True),
+        StructField("admit_rank", IntegerType(), True),
+    ]
+)
+
+# hostAccessMap analog (HttpManager.scala:30,131-143) + robots rules
+HOSTS_SCHEMA = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("host_hash", LongType(), False),
+        StructField("delay_epochs", IntegerType(), False),
+        StructField("robots_disallow", StringType(), True),
+        StructField("last_access_epoch", IntegerType(), True),
+    ]
+)
+
+# feed table analog (mysql-create-db.sql:1-5) + crawl progress
+FEEDS_SCHEMA = StructType(
+    [
+        StructField("feed_canon", StringType(), False),
+        StructField("url", StringType(), False),
+        StructField("host", StringType(), False),
+        StructField("seed_idx", IntegerType(), False),
+        # state: pending | crawling | done | done_empty | dead
+        StructField("state", StringType(), False),
+        StructField("parsed_pub_ts", TimestampType(), True),  # A2 watermark value
+        StructField("last_pub_ts", TimestampType(), True),    # persisted watermark
+        StructField("done_epoch", IntegerType(), True),
+    ]
+)
+
+# article table analog (mysql-create-db.sql:7-14), append-only log;
+# latest row per url_canon is the seen store / final article state
+ARTICLES_SCHEMA = StructType(
+    [
+        StructField("url_canon", StringType(), False),
+        StructField("url_hash", LongType(), False),
+        StructField("article_id", LongType(), True),   # preseen ids; null for new
+        StructField("pub_ts", TimestampType(), True),
+        StructField("caption", StringType(), True),
+        StructField("feed_canon", StringType(), True),
+        StructField("action", StringType(), False),    # preseen | insert | update
+        StructField("epoch", IntegerType(), False),
+        StructField("phash", LongType(), True),        # corpus-declared
+        StructField("w", IntegerType(), True),
+        StructField("h", IntegerType(), True),
+        StructField("fmt", StringType(), True),
+        StructField("pixels", BinaryType(), True),     # decoded RGB (north_star)
+        StructField("dec_phash", LongType(), True),    # recomputed from pixels
+    ]
+)
+
+METRICS_SCHEMA = StructType(
+    [
+        StructField("epoch", IntegerType(), False),
+        StructField("host_bucket", IntegerType(), False),
+        StructField("urls_fetched", LongType(), False),
+        StructField("politeness_stalls", LongType(), False),
+        StructField("dedup_hits", LongType(), False),
+        StructField("enqueued", LongType(), False),
+        StructField("robots_denied", LongType(), False),
+    ]
+)
+
+ERRORS_SCHEMA = StructType(
+    [
+        StructField("epoch", IntegerType(), False),
+        StructField("stage", StringType(), False),
+        StructField("url_canon", StringType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+STATE_TABLES = ["frontier", "hosts", "feeds", "articles", "metrics", "errors"]

@@ -1,0 +1,186 @@
+"""End-to-end equivalence: Spark engine vs the pure-Python oracle simulator.
+
+This is the north_star gate: same seed list + politeness budget ⇒ EXACT
+crawl order, EXACT final URL-seen set, byte-exact captions, decoded-pixel
+equality — plus checkpoint/resume convergence after a mid-crawl kill.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from newsfeeds_crawler_spark.functions import codecs
+from newsfeeds_crawler_spark.oracle import simulate
+from newsfeeds_crawler_spark.plans import CrawlConfig, CrawlEngine
+from newsfeeds_crawler_spark.synth import CorpusSpec, synthesize
+from newsfeeds_crawler_spark.synth.tables import (
+    corpus_df,
+    hosts_df,
+    preseen_df,
+    seeds_df,
+)
+
+SPEC = CorpusSpec()  # default: 8 feeds, 12 items, every edge case planted
+
+
+def _mk_engine(spark, corpus, wd, **cfg_kwargs):
+    cfg = CrawlConfig(
+        workers=corpus.spec.workers, tick_ms=corpus.spec.tick_ms, **cfg_kwargs
+    )
+    return CrawlEngine(
+        spark,
+        wd,
+        corpus_df(spark, corpus).cache(),
+        hosts_df(spark, corpus),
+        seeds_df(spark, corpus),
+        preseen_df(spark, corpus),
+        cfg,
+    )
+
+
+@pytest.fixture(scope="module")
+def crawl(spark, tmp_path_factory):
+    corpus = synthesize(SPEC)
+    oracle = simulate(corpus)
+    eng = _mk_engine(spark, corpus, str(tmp_path_factory.mktemp("crawl")))
+    eng.run()
+    return corpus, oracle, eng
+
+
+def test_crawl_order_exact(crawl):
+    corpus, oracle, eng = crawl
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in eng.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order
+
+
+def test_seen_set_exact(crawl):
+    corpus, oracle, eng = crawl
+    got = {
+        r["url_canon"]: r["pub_ts"] for r in eng.articles_final().collect()
+    }
+    assert got == oracle.seen
+
+
+def test_articles_captions_byte_exact_and_actions(crawl):
+    corpus, oracle, eng = crawl
+    rows = {
+        r["url_canon"]: r
+        for r in eng.articles_final().filter(F.col("action") != "preseen").collect()
+    }
+    assert set(rows) == set(oracle.articles)
+    for u, o in oracle.articles.items():
+        r = rows[u]
+        assert r["caption"] == o["caption"], u          # byte-exact captions
+        assert r["action"] == o["action"], u
+        assert r["pub_ts"] == o["pub_ts"], u
+        assert r["phash"] == o["phash"], u
+
+
+def test_decoded_pixels_exact(crawl):
+    """input_hint: decoded-pixel allclose (lossless codecs ⇒ exact equality),
+    recomputed phash must equal the corpus-declared one."""
+    corpus, oracle, eng = crawl
+    rows = eng.articles_final().filter(F.col("action") != "preseen").collect()
+    assert rows
+    for r in rows:
+        page = corpus.pages[r["url_canon"]]
+        want = codecs.decode_image(page.image, page.fmt)
+        got = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(
+            r["h"], r["w"], 3
+        )
+        np.testing.assert_array_equal(got, want)
+        assert r["dec_phash"] == r["phash"]
+        assert codecs.psnr(got, want) == float("inf")  # >= 40dB trivially
+
+
+def test_feeds_terminal_states_and_watermarks(crawl):
+    corpus, oracle, eng = crawl
+    got = {r["feed_canon"]: r for r in eng.feeds_final().collect()}
+    assert set(got) == set(oracle.feeds)
+    for fc, o in oracle.feeds.items():
+        r = got[fc]
+        assert r["state"] == o["state"], fc
+        assert r["last_pub_ts"] == o["last_pub_ts"], fc
+    # the empty feed really skipped its watermark (FeedManager.scala:87-89)
+    assert any(
+        r["state"] == "done_empty" and r["last_pub_ts"] is None
+        for r in got.values()
+    )
+
+
+def test_robots_denied_set(crawl):
+    corpus, oracle, eng = crawl
+    got = {
+        r["url_canon"]
+        for r in eng.cat.read("frontier")
+        .filter(F.col("state") == "robots_denied")
+        .collect()
+    }
+    want = {t.url_canon for t in oracle.tasks if t.state == "robots_denied"}
+    assert got == want and got  # non-empty: the corpus plants robots paths
+
+
+def test_metric_totals_match_oracle(crawl):
+    corpus, oracle, eng = crawl
+    m = (
+        eng.metrics_df()
+        .agg(
+            F.sum("urls_fetched").alias("f"),
+            F.sum("dedup_hits").alias("d"),
+            F.sum("enqueued").alias("e"),
+            F.sum("politeness_stalls").alias("s"),
+        )
+        .first()
+    )
+    assert m["f"] == len(oracle.crawl_order)
+    assert m["d"] == sum(x["dedup_hits"] for x in oracle.metrics)
+    assert m["e"] == sum(x["enqueued"] for x in oracle.metrics)
+    assert m["s"] == sum(x["stalls"] for x in oracle.metrics)
+
+
+def test_kill_and_resume_converges_identically(spark, tmp_path):
+    """north_star: mid-crawl kill + orphan snapshot ⇒ resume converges to the
+    identical frontier/seen state."""
+    corpus = synthesize(CorpusSpec(n_feeds=6, items_per_feed=6, n_hosts=5))
+    oracle = simulate(corpus)
+
+    eng = _mk_engine(spark, corpus, str(tmp_path / "killed"), max_epochs=3)
+    eng.run()  # stops mid-crawl after 3 epochs
+    # simulate a crash mid-epoch-4: a table snapshot written but the epoch
+    # manifest never committed (must be invisible after resume)
+    orphan = eng.cat.read("frontier").withColumn("state", F.lit("CORRUPT"))
+    eng.cat.write("frontier", orphan.localCheckpoint(eager=True))
+
+    resumed = _mk_engine(spark, corpus, str(tmp_path / "killed"))
+    resumed.run()
+
+    got_order = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in resumed.crawl_order().collect()
+    ]
+    assert got_order == oracle.crawl_order
+    got_seen = {r["url_canon"]: r["pub_ts"] for r in resumed.articles_final().collect()}
+    assert got_seen == oracle.seen
+    assert not resumed.cat.read("frontier").filter("state = 'CORRUPT'").count()
+
+
+def test_hot_host_skew_with_salting_same_semantics(spark, tmp_path):
+    """90%-skewed host + salted pre-rank: admission semantics unchanged."""
+    corpus = synthesize(
+        CorpusSpec(n_feeds=5, items_per_feed=8, n_hosts=4, host_skew=0.9)
+    )
+    oracle = simulate(corpus)
+    eng = _mk_engine(
+        spark, corpus, str(tmp_path / "skew"), salt_partitions=4
+    )
+    eng.run()
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in eng.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order
