@@ -37,12 +37,14 @@ def probe(
     candidates: DataFrame,
     store_latest: DataFrame,
     key: str = "url_canon",
+    hash_key: str = "url_hash",
     bloom=None,
 ) -> DataFrame:
     """Append __seen / stored_id / stored_pub_ts to ``candidates``.
 
-    ``bloom``: optional operators.bloom.PartitionedBloom — candidates that
-    fail the membership test bypass the join (they are definitely new).
+    ``bloom``: optional operators.bloom.PartitionedBloom over the 64-bit
+    ``hash_key`` — candidates that fail the membership test bypass the join
+    (they are definitely new; no false negatives).
     """
     store = store_latest.select(
         F.col(key).alias("__sk"),
@@ -50,7 +52,7 @@ def probe(
         F.col("pub_ts").alias("stored_pub_ts"),
     )
     if bloom is not None:
-        maybe, new = bloom.split(candidates, key)
+        maybe, new = bloom.split(candidates, hash_key)
         probed = maybe.join(store, maybe[key] == F.col("__sk"), "left")
         probed = probed.withColumn("__seen", F.col("__sk").isNotNull()).drop("__sk")
         new = (

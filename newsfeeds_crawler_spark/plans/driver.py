@@ -54,6 +54,9 @@ class CrawlConfig:
     salt_partitions: int = 0         # >0 enables salted pre-rank (hot hosts)
     max_epochs: int = 10_000
     compact_articles_every: int = 0  # 0 = never
+    use_bloom: bool = False          # Bloom-prefilter the seen probe (J2)
+    bloom_fpp: float = 0.01
+    bloom_expected_per_bucket: int = 100_000
 
 
 class CrawlEngine:
@@ -219,7 +222,20 @@ class CrawlEngine:
             .filter(F.col("__rn") == 1)  # deviation: reference crashes on dups
             .drop("__rn")
         )
-        probed = probe(items, store_latest).withColumn(
+        bloom = None
+        if cfg.use_bloom:
+            # at 10^10 the blobs live in a filter state table maintained by
+            # bitwise-OR epoch deltas (PartitionedBloom.merge); rebuilding per
+            # epoch is fine at test scale and keeps this round simple
+            from newsfeeds_crawler_spark.operators.bloom import PartitionedBloom
+
+            bloom = PartitionedBloom.build(
+                store_latest.select("url_hash"),
+                num_buckets=cfg.num_host_buckets,
+                expected_per_bucket=cfg.bloom_expected_per_bucket,
+                fpp=cfg.bloom_fpp,
+            )
+        probed = probe(items, store_latest, hash_key="item_hash", bloom=bloom).withColumn(
             "fetch_flag",
             should_fetch(
                 F.col("item_ts"),
