@@ -1,0 +1,215 @@
+"""Document-level deduplication operators for the training-data pipeline.
+
+DataFrame-in → DataFrame-out, all pure Catalyst expressions (no Python UDFs):
+
+- exact_dups          — hash-groupBy exact dedup (md5 of raw text)
+- token_jaccard_pairs — blocked self-join + word-set Jaccard verify
+- minhash_lsh_pairs   — shingle → MinHash → LSH band bucketing → candidate
+                        pairs → exact-Jaccard verification (the scale path:
+                        only same-band pairs ever join)
+- simhash_groups      — SimHash value per doc; equal values = near-dup group
+
+Scale notes (100 TB): the LSH groupBy shuffles on band_key (uniform by
+construction — keys are hashes); the verify self-join receives only
+candidate pairs (|pairs| ≪ |docs|²). Exact dedup is one hash aggregate with
+map-side partial aggregation. Nothing here ever collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from newsfeeds_crawler_spark.functions.dedup import SIMHASH_BITS
+from newsfeeds_crawler_spark.functions.text import shingles
+
+
+def exact_dups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-duplicate groups: (text_md5, rep_id, dup_count), groups with >1 row.
+
+    rep_id = min id — the canonical survivor, as in standard corpus dedup.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(F.col(id_col)).cast("bigint").alias("rep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("dup_count"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs by word-set Jaccard within blocking-key groups.
+
+    Blocking bounds the self-join: only rows sharing ``block_cols`` are
+    compared (at scale the join shuffles on the block key; pick keys with
+    bounded group sizes). Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    side = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id"),
+        toks.alias("toks"),
+    )
+    a = side.select(
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("id").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+    )
+    b = side.select(
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("id").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
+    jac = inter / F.greatest(union, F.lit(1.0))
+    return (
+        a.join(b, [f"__b_{c}" for c in block_cols])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Pipeline: k-word shingles → ``num_hashes`` MinHash signature → ``bands``
+    band keys → explode → groupBy band key pairs (candidates) → distinct
+    (id_a,id_b) → verify with exact shingle Jaccard ≥ threshold.
+
+    Candidates never leave the band buckets, so the pair space is
+    |Σ bucket²| not |docs|² — the property that makes this the 100 TB path.
+    """
+    rows_per_band = num_hashes // bands
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), k_shingle).alias("grams"),
+    )
+    # Explode + aggregate shape: each shingle is hashed ONCE (not once per
+    # permutation — Catalyst would inline a shared signature expression into
+    # every min and band key otherwise), then the 16 permuted mins are plain
+    # aggregates with map-side partial aggregation. grams is never empty
+    # (functions.text.shingles falls back to the whole-token join), so no
+    # doc drops out of the explode.
+    from newsfeeds_crawler_spark.functions.dedup import MERSENNE31, minhash_coeffs
+    from newsfeeds_crawler_spark.functions.text import fingerprint64
+
+    gram_rows = docs.select(
+        "id", F.explode("grams").alias("gram")
+    ).withColumn("h", fingerprint64(F.col("gram")))
+    sig = gram_rows.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE31)).alias(
+                f"mh{i}"
+            )
+            for i, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
+        ]
+    )
+    band_key_arr = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(str(b)),
+                *[
+                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.explode(band_key_arr).alias("band_key"))
+    a = banded.select("band_key", F.col("id").alias("id_a"))
+    b = banded.select("band_key", F.col("id").alias("id_b"))
+    cand_ids = (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand_ids.join(
+        docs.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a")), "id_a"
+    ).join(
+        docs.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b")), "id_b"
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = F.size(F.array_union("g_a", "g_b")).cast("double")
+    jac = inter / F.greatest(union, F.lit(1.0))
+    return (
+        cand.select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_docs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(id, simhash) per document — explode + aggregate shape.
+
+    Each distinct token is hashed once (explode → one row per token), then
+    the per-bit vote sums are ``bits`` ordinary aggregates of one groupBy —
+    map-side partial aggregation applies, and no per-row expression ever
+    recomputes the token hashes. That is the 100 TB shape; the column-
+    expression form (functions.dedup.simhash) exists for small arrays only.
+    """
+    from newsfeeds_crawler_spark.functions.text import fingerprint64
+
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    tok_rows = df.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("tok")
+    ).withColumn("h", fingerprint64(F.col("tok")))
+    votes = tok_rows.groupBy("id").agg(
+        *[
+            F.sum((F.floor(F.col("h") / F.lit(2**b)).cast("bigint") % 2) * 2 - 1)
+            .alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)).cast("bigint")
+        sim = term if sim is None else sim + term
+    return votes.select(F.col("id").cast("bigint"), sim.alias("simhash"))
+
+
+def simhash_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(simhash, rep_id, n_docs) for SimHash values shared by >1 document.
+
+    Equal-value grouping is the degenerate hamming-distance-0 bucketing; a
+    banded multi-probe (rotate + mask) extends it to distance ≤ r without
+    pairwise scans — same groupBy shape, r+1 probes.
+    """
+    return (
+        simhash_docs(df, id_col, text_col)
+        .groupBy("simhash")
+        .agg(
+            F.min("id").cast("bigint").alias("rep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

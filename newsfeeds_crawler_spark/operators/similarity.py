@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine(a, b)       — deterministic left-fold dot/norms: bit-identical to
+                       the DuckDB oracle's list_reduce mirror (both engines
+                       fold doubles left-to-right).
+- brute_topk         — exact top-k neighbors: broadcast the (small) query
+                       set against the full corpus; one shuffle (the rank
+                       window, partitioned by query id).
+- ivf_topk           — IVF-style scale path: assign every vector to its
+                       nearest coarse centroid (broadcast centroids), probe
+                       only the query's cell → candidate set shrinks by ~the
+                       number of cells; same rank window on the reduced set.
+
+At 100 TB the corpus side stays partitioned; only centroids/queries are
+broadcast. No Python UDF: dot products are Catalyst `aggregate`/`zip_with`
+expressions inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-fold Σ a_i·b_i in double (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB mirror of :func:`cosine` — identical fold order, double math."""
+
+    def dot(x: str, y: str) -> str:
+        prods = f"list_transform({x}, (__v, __i) -> __v::DOUBLE * ({y})[__i]::DOUBLE)"
+        return f"list_reduce(list_prepend(0.0::DOUBLE, {prods}), (__a, __p) -> __a + __p)"
+
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
+def brute_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (q_id, n_id, sim, rank), self-matches excluded.
+
+    ``queries`` must be broadcast-small; the corpus side never shuffles until
+    the per-query rank window (partitioned by q_id — as many partitions as
+    queries, each holding `|corpus|` candidate rows; for huge corpora chain
+    a per-partition pre-top-k before the window to cap the shuffle).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    sims = (
+        c.crossJoin(q)
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 8).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").cast("bigint"),
+            F.col("n_id").cast("bigint"),
+            "sim",
+            F.col("rank").cast("int"),
+        )
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF assignment: nearest centroid by cosine → (id, cell, vec).
+
+    Tie-break on centroid id keeps the assignment deterministic.
+    """
+    cent = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
+        )
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).crossJoin(cent).select(
+        "id",
+        "vec",
+        "cell",
+        F.round(cosine(F.col("vec"), F.col("c_vec")), 8).alias("c_sim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("c_sim").desc(), F.col("cell"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "cell", "vec")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k probing only the query's IVF cell.
+
+    Recall < 1 by construction (single-probe); the exactness trade is the
+    point — candidates per query drop from |corpus| to |cell|. At scale the
+    assignment is precomputed and the corpus is bucketed by cell, turning
+    the probe into a partition-pruned scan.
+    """
+    assigned = assign_cells(corpus, centroids, id_col, vec_col)
+    q = assign_cells(queries, centroids, id_col, vec_col).select(
+        F.col("id").alias("q_id"), F.col("cell"), F.col("vec").alias("q_vec")
+    )
+    cand = assigned.select(
+        F.col("id").alias("n_id"), "cell", F.col("vec").alias("n_vec")
+    )
+    sims = (
+        cand.join(F.broadcast(q), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 8).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").cast("bigint"),
+            F.col("n_id").cast("bigint"),
+            "sim",
+            F.col("rank").cast("int"),
+        )
+    )

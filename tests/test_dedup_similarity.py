@@ -1,0 +1,117 @@
+"""Training-data pipeline operators: dedup (exact/Jaccard/MinHash/SimHash)
+and embedding similarity (brute top-k, IVF probe)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from newsfeeds_crawler_spark.functions.dedup import (
+    MERSENNE31,
+    minhash_coeffs,
+)
+from newsfeeds_crawler_spark.operators.dedup import (
+    exact_dups,
+    minhash_lsh_pairs,
+    simhash_docs,
+    token_jaccard_pairs,
+)
+from newsfeeds_crawler_spark.operators.similarity import brute_topk, ivf_topk
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the old river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the old river bend"),
+    (2, "a completely different document about spark shuffles and partitions"),
+    (3, "the quick brown fox jumps over the lazy dog near the old river bank"),
+    (4, "short text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dups_finds_identical(docs):
+    rows = exact_dups(docs, "doc_id", "text").collect()
+    assert len(rows) == 1
+    assert rows[0].rep_id == 0 and rows[0].dup_count == 2
+
+
+def test_minhash_coeffs_deterministic():
+    assert minhash_coeffs(4) == minhash_coeffs(4)
+    for a, b in minhash_coeffs(32):
+        assert 1 <= a < MERSENNE31 and 0 <= b < MERSENNE31
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # identical
+    assert (0, 1) in pairs  # one-word-off near dup
+    assert all(a != 2 and b != 2 for a, b in pairs)  # unrelated doc excluded
+
+
+def test_token_jaccard_blocked(docs, spark):
+    d = docs.withColumn("blk", F.lit(1))
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in token_jaccard_pairs(
+            d, "doc_id", "text", ["blk"], threshold=0.5
+        ).collect()
+    }
+    assert pairs[(0, 3)] == 1.0
+    # docs 0/1 share 11 of 13 distinct tokens (bank vs bend)
+    assert pairs[(0, 1)] == round(11 / 13, 6)
+    assert (2, 4) not in pairs and (0, 2) not in pairs
+
+
+def test_simhash_identical_docs_equal(docs):
+    sh = {r.id: r.simhash for r in simhash_docs(docs, "doc_id", "text").collect()}
+    assert sh[0] == sh[3]
+    # near-dup docs differ in few bits; unrelated docs in many
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(sh[0], sh[1]) <= ham(sh[0], sh[2])
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),
+    (2, [0.0, 1.0, 0.0]),
+    (3, [0.0, 0.9, 0.1]),
+    (4, [-1.0, 0.0, 0.0]),
+    (5, [0.7, 0.7, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in VECS], ["vec_id", "embedding"]
+    )
+
+
+def test_brute_topk_orders_by_cosine(vecs):
+    res = brute_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=3).collect()
+    assert [r.n_id for r in sorted(res, key=lambda r: r.rank)] == [1, 5, 2]
+    top = next(r for r in res if r.rank == 1)
+    assert math.isclose(top.sim, 0.9 / math.sqrt(0.82), rel_tol=1e-6)
+
+
+def test_ivf_topk_probes_one_cell(vecs):
+    # centroids: x-axis (0) and y-axis (2) → cells split the space
+    cents = vecs.filter(F.col("vec_id").isin(0, 2))
+    res = ivf_topk(vecs, vecs.filter(F.col("vec_id") == 1), cents, k=5).collect()
+    got = {r.n_id for r in res}
+    # query 1 lands in the x-cell: {0, 5} (4 also x-cell? cos(4,x)=-1 < cos(4,y)=0 → y-cell)
+    assert 0 in got and 2 not in got and 3 not in got
+    # approximate-by-design: y-cell vectors are not scanned
+    assert got <= {0, 5}
