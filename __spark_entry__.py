@@ -50,6 +50,7 @@ from newsfeeds_crawler_spark.operators.dedup import (
 from newsfeeds_crawler_spark.operators.similarity import (
     brute_topk,
     cosine_sql,
+    embedding_cosine_pairs,
     ivf_topk,
 )
 
@@ -384,6 +385,14 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, IVF-cell blocked (sim >= 0.3)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(
+        e, e.filter(F.col("vec_id") % 50 == 0), threshold=0.3
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish) and rolling-hash fingerprint."""
     d = _t(spark, sf_dir, "documents")
@@ -484,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "similarity_brute_topk": q_similarity_brute_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_stats": q_text_stats,
         "text_lang_quality": q_text_lang_quality,
         "image_decode_roundtrip": q_image_decode_roundtrip,
@@ -670,6 +680,24 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (
                       PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM s)
             WHERE rank <= 5
+        """,
+        "dedup_embedding_cosine": f"""
+            WITH cent AS (SELECT vec_id AS cell, embedding AS c_vec
+                          FROM embeddings WHERE vec_id % 50 = 0),
+            v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+            asg AS (
+                SELECT id, cell, vec FROM (
+                    SELECT id, cell, vec, row_number() OVER (
+                        PARTITION BY id
+                        ORDER BY round({ccos}, 8) DESC, cell) AS rn
+                    FROM v, cent)
+                WHERE rn = 1)
+            SELECT id_a, id_b, sim FROM (
+                SELECT a.id::BIGINT AS id_a, b.id::BIGINT AS id_b,
+                       round({cosine_sql('a.vec', 'b.vec')}, 8) AS sim
+                FROM asg a JOIN asg b USING (cell)
+                WHERE a.id < b.id)
+            WHERE sim >= 0.3
         """,
         "text_stats": f"""
             SELECT doc_id,

@@ -37,8 +37,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from newsfeeds_crawler_spark.functions.urls import canonicalize_url, url_host
 from newsfeeds_crawler_spark.session import get_spark
+from newsfeeds_crawler_spark.sources.frontier import (
+    generative_frontier,
+    generative_seen,
+)
 
 BENCH_QUERIES = [
     "url_canonicalize",
@@ -75,39 +78,15 @@ def crawl_throughput(spark: SparkSession, n_urls: int, n_hosts: int = 20_000,
     spark.range + expressions, the exact shape a 10^10-URL run uses."""
     seen_n = n_urls // 2
 
-    def mk_url(idcol):
-        return F.concat(
-            F.lit("HTTP://Host"),
-            (idcol % n_hosts).cast("string"),
-            F.lit(".Example.COM:80//page//"),
-            idcol.cast("string"),
-        )
-
-    # 8 tasks per core: fine-grained tasks smooth stragglers, which dominate
-    # wall-clock at high parallelism (same reason a real cluster over-splits)
-    parts = spark.sparkContext.defaultParallelism * 8
-
     t0 = time.time()
-    frontier = (
-        spark.range(0, n_urls, 1, parts)
-        .select(
-            F.col("id"),
-            canonicalize_url(mk_url(F.col("id"))).alias("url_canon"),
-        )
-        .withColumn("host", url_host(F.col("url_canon"), canonical=True))
-        .withColumn("url_hash", F.xxhash64("url_canon"))
-    )
+    frontier = generative_frontier(spark, n_urls, n_hosts)
     # seen store: every even id (same canonical form → same hash), built
     # generatively. shuffle_hash, not broadcast: at 10^10 keys the seen
     # store can never broadcast — the scale-true shape is a hash-partitioned
     # join on url_hash (Iceberg-bucketed storage-partition join in prod),
     # and the driver-side broadcast build is a serial bottleneck that caps
     # scaling efficiency.
-    seen = (
-        spark.range(0, seen_n, 1, parts)
-        .select(canonicalize_url(mk_url(F.col("id") * 2)).alias("c"))
-        .select(F.xxhash64("c").alias("url_hash"))
-    )
+    seen = generative_seen(spark, seen_n, n_hosts, stride=2)
     new = frontier.join(seen.hint("shuffle_hash"), "url_hash", "left_anti")
     # robots: disallow /admin path prefix — same substring_index + startswith
     # shape as operators.politeness.robots_split (NOT a regex: an unanchored

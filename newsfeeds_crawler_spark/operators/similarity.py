@@ -118,6 +118,41 @@ def assign_cells(
     )
 
 
+def embedding_cosine_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim), id_a < id_b.
+
+    The all-pairs space is blocked by IVF cell (nearest-centroid assignment)
+    — only same-cell vectors are compared, the embedding analog of LSH
+    banding. Near-dup pairs have cosine ≈ 1, so they share a cell unless
+    they straddle a cell boundary (multi-probe assignment closes that gap at
+    the cost of k× candidates). At scale the self-join shuffles on ``cell``,
+    bounded by the largest cell, not |corpus|².
+    """
+    assigned = assign_cells(corpus, centroids, id_col, vec_col)
+    a = assigned.select(
+        "cell", F.col("id").alias("id_a"), F.col("vec").alias("v_a")
+    )
+    b = assigned.select(
+        "cell", F.col("id").alias("id_b"), F.col("vec").alias("v_b")
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 8).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

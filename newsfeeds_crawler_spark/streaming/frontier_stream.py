@@ -1,0 +1,123 @@
+"""Structured Streaming front-end for the crawl engine.
+
+The reference is a run-to-completion batch job (ProjectManager.scala:48-51),
+so the core engine is batch-iterative (plans/driver.py). This module is the
+streaming deployment shape for a *continuously fed* frontier: new frontier
+files land in a directory, each micro-batch runs the same admission
+semantics (in-batch dedup → seen anti-join → per-host politeness top-1 →
+worker cap) via ``foreachBatch``, appending admitted rows and advancing the
+seen store. Semantics per micro-batch are identical to one engine epoch —
+``tests/test_streaming.py`` pins a streamed run against the batch operators.
+
+``host_fetch_windows`` is the watermarked event-time aggregation
+(late-data-tolerant per-host fetch rates) a crawl dashboard needs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+FRONTIER_STREAM_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("url_canon", StringType(), False),
+        StructField("url_hash", LongType(), False),
+        StructField("host", StringType(), False),
+        StructField("enqueue_ts", TimestampType(), True),
+        StructField("seq", LongType(), False),
+    ]
+)
+
+
+def _admit_batch(batch: DataFrame, seen_dir: str, out_dir: str,
+                 workers: int, batch_id: int) -> None:
+    spark = batch.sparkSession
+    batch = batch.dropDuplicates(["url_hash"])
+    # seen store accumulated across batches (parquet append — the streaming
+    # analog of the articles-log anti-join J2)
+    if os.path.exists(seen_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(seen_dir)
+    ):
+        seen = spark.read.parquet(seen_dir).select("url_hash")
+        fresh = batch.join(seen, "url_hash", "left_anti")
+    else:
+        fresh = batch
+    w_host = Window.partitionBy("host").orderBy("seq")
+    admitted = (
+        fresh.withColumn("__rn", F.row_number().over(w_host))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    w_glob = Window.orderBy("seq")
+    admitted = (
+        admitted.withColumn("admit_rank", F.row_number().over(w_glob) - 1)
+        .filter(F.col("admit_rank") < workers)
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+    )
+    admitted.persist()
+    admitted.write.mode("append").parquet(out_dir)
+    admitted.select("url_hash").write.mode("append").parquet(seen_dir)
+    admitted.unpersist()
+
+
+def stream_crawl(
+    spark: SparkSession,
+    frontier_dir: str,
+    workdir: str,
+    workers: int = 1000,
+    max_files_per_trigger: int = 1,
+):
+    """Start (and return) the streaming admission query.
+
+    One input file ≈ one micro-batch ≈ one engine epoch. Caller awaits
+    ``.awaitTermination()`` (use ``trigger(availableNow=True)`` semantics by
+    stopping after the directory drains — the query object is returned).
+    """
+    seen_dir = os.path.join(workdir, "seen")
+    out_dir = os.path.join(workdir, "admitted")
+    ckpt = os.path.join(workdir, "_checkpoint")
+    os.makedirs(seen_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(FRONTIER_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(frontier_dir)
+    )
+    return (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+            lambda b, bid: _admit_batch(b, seen_dir, out_dir, workers, bid)
+        )
+        .start()
+    )
+
+
+def host_fetch_windows(
+    fetched: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window per-host fetch counts over a streaming
+    DataFrame with (host, fetch_ts). Late rows beyond the watermark drop —
+    the streaming analog of P1's drop-late-by-predicate."""
+    return (
+        fetched.withWatermark("fetch_ts", watermark)
+        .groupBy(F.window("fetch_ts", window).alias("win"), "host")
+        .agg(F.count(F.lit(1)).alias("n_fetched"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "host",
+            "n_fetched",
+        )
+    )
