@@ -24,10 +24,45 @@ entirely.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 FIFO_KEY = ["e_epoch", "e_rank", "e_sub"]
+
+
+def _order_key(pending: DataFrame) -> list:
+    """Admission order: (priority, FIFO key) ascending when a priority
+    column exists (north_star priority frontier — breadth-depth + recency
+    score), else the bare FIFO key (reference mailbox order). A constant
+    priority column is exactly FIFO, which the equivalence oracle runs."""
+    key = [F.col(c) for c in FIFO_KEY]
+    if "priority" in pending.columns:
+        key = [F.col("priority"), *key]
+    return key
+
+
+def priority_score(
+    depth,
+    pub_ts,
+    depth_weight: float = 0.0,
+    recency_weight: float = 0.0,
+):
+    """Deterministic breadth-depth + feed-recency score (lower = sooner).
+
+    depth: hops from the seed (feed = 0, its articles = 1, ...);
+    pub_ts: the item's parsed pubDate. Newer items score lower (crawled
+    earlier); deeper pages score higher (breadth-first bias). Both weights
+    0.0 → constant 0.0 → pure FIFO. No wall clock anywhere: recency is the
+    absolute pubDate epoch-second, a pure function of the input.
+    """
+    d = depth if isinstance(depth, Column) else F.lit(float(depth))
+    ts = F.coalesce(
+        F.unix_timestamp(pub_ts).cast("double"), F.lit(0.0)
+    )
+    return (
+        d.cast("double") * F.lit(float(depth_weight))
+        - ts * F.lit(float(recency_weight))
+    )
 
 
 def robots_split(pending: DataFrame, hosts: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -69,7 +104,7 @@ def admit(
     ``host_state``: host, last_access_epoch, delay_epochs (broadcast dim).
     ``salt_partitions`` > 0 pre-ranks with a salted sub-window (hot-host skew).
     """
-    key = [F.col(c) for c in FIFO_KEY]
+    key = _order_key(pending)
     if salt_partitions > 0:
         w_salt = Window.partitionBy("host", "__salt").orderBy(*key)
         pending = (

@@ -40,7 +40,11 @@ from newsfeeds_crawler_spark.operators.fetchparse import (
     parse_feed_udf,
 )
 from newsfeeds_crawler_spark.operators.multimodal import decode_images
-from newsfeeds_crawler_spark.operators.politeness import admit, robots_split
+from newsfeeds_crawler_spark.operators.politeness import (
+    admit,
+    priority_score,
+    robots_split,
+)
 from newsfeeds_crawler_spark.operators.seen import latest_articles, probe
 from newsfeeds_crawler_spark.plans import state as S
 from newsfeeds_crawler_spark.tablestore import Catalog
@@ -54,6 +58,10 @@ class CrawlConfig:
     salt_partitions: int = 0         # >0 enables salted pre-rank (hot hosts)
     max_epochs: int = 10_000
     compact_articles_every: int = 0  # 0 = never
+    # priority frontier weights (north_star): both 0.0 → constant priority
+    # → pure FIFO, the reference-equivalence mode the oracle checks
+    depth_weight: float = 0.0
+    recency_weight: float = 0.0
     use_bloom: bool = False          # Bloom-prefilter the seen probe (J2)
     bloom_fpp: float = 0.01
     bloom_expected_per_bucket: int = 100_000
@@ -100,6 +108,10 @@ class CrawlEngine:
                 F.lit(0).cast("int").alias("e_epoch"),
                 F.col("seed_idx").cast("int").alias("e_rank"),
                 F.lit(0).cast("int").alias("e_sub"),
+                priority_score(
+                    0, F.lit(None).cast("timestamp"),
+                    cfg.depth_weight, cfg.recency_weight,
+                ).alias("priority"),
                 F.lit("pending").alias("state"),
                 F.lit(None).cast("int").alias("fetch_epoch"),
                 F.lit(None).cast("int").alias("admit_rank"),
@@ -259,6 +271,9 @@ class CrawlEngine:
                 F.lit(tick + 1).cast("int").alias("e_epoch"),
                 F.col("admit_rank").cast("int").alias("e_rank"),
                 F.col("e_sub").cast("int"),
+                priority_score(
+                    1, F.col("item_ts"), cfg.depth_weight, cfg.recency_weight
+                ).alias("priority"),
                 F.lit("pending").alias("state"),
                 F.lit(None).cast("int").alias("fetch_epoch"),
                 F.lit(None).cast("int").alias("admit_rank"),
@@ -342,6 +357,7 @@ class CrawlEngine:
                 "e_epoch",
                 "e_rank",
                 "e_sub",
+                "priority",
                 F.coalesce("new_state", "state").alias("state"),
                 F.coalesce("new_fetch_epoch", "fetch_epoch").alias("fetch_epoch"),
                 F.coalesce("new_admit_rank", "admit_rank").alias("admit_rank"),

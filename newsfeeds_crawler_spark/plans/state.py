@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -30,6 +31,10 @@ FRONTIER_SCHEMA = StructType(
         StructField("e_epoch", IntegerType(), False),
         StructField("e_rank", IntegerType(), False),
         StructField("e_sub", IntegerType(), False),
+        # priority frontier (north_star): admission orders by (priority,
+        # FIFO key) ascending — 0.0 everywhere degenerates to the
+        # reference's pure mailbox FIFO, which the equivalence oracle runs
+        StructField("priority", DoubleType(), False),
         # state: pending | fetched | done | skipped | robots_denied
         StructField("state", StringType(), False),
         StructField("fetch_epoch", IntegerType(), True),
