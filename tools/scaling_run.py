@@ -63,7 +63,7 @@ def run_pair(frontier: int, reps: int = 3) -> tuple[dict, dict]:
 
 
 def main():
-    frontier = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+    frontier = int(sys.argv[1]) if len(sys.argv) > 1 else 32_000_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     lo, hi = run_pair(frontier, reps)
     eff = (hi["value"] / lo["value"]) / (32 / 8)
