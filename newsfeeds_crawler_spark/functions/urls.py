@@ -28,19 +28,38 @@ _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 
 
 def canonicalize_url(url: Column | str) -> Column:
-    """Spark-side canonical form. Input: URL string column."""
+    """Spark-side canonical form. Input: URL string column.
+
+    Implemented with substring/locate primitives plus a single regex (the
+    duplicate-slash collapse) — the original all-regex chain cost ~6 regex
+    evaluations per URL and dominated the scheduling hot path. Byte-equal to
+    :func:`canonicalize_url_py` for URLs whose scheme is well-formed
+    (``[A-Za-z][A-Za-z0-9+.-]*://``, the crawl input contract pinned by
+    tests/test_urls.py); inputs with malformed scheme separators may differ
+    from the regex-validating Python mirror.
+    """
     u = F.col(url) if isinstance(url, str) else url
-    u = F.regexp_replace(u, r"#.*$", "")  # 1. fragment
-    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
-    rest = F.regexp_replace(u, _SCHEME_RE, "")
-    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    u = F.substring_index(u, "#", 1)  # 1. fragment (strip from first '#')
+    pos = F.locate("://", u)
+    scheme = F.when(pos > 0, F.lower(F.substring(u, F.lit(1), pos - 1))).otherwise(
+        F.lit("")
+    )
+    rest = F.when(pos > 0, F.substring(u, pos + 3, F.lit(1 << 30))).otherwise(u)
+    # host[:port] = up to the first '/' or '?' (mirror of ^([^/?]*))
+    hostport = F.lower(F.substring_index(F.substring_index(rest, "/", 1), "?", 1))
     tail = F.substring(rest, F.length(hostport) + F.lit(1), F.lit(1 << 30))
     host = (
-        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
-        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        F.when(
+            (scheme == "http") & hostport.endswith(":80"),
+            F.substring(hostport, F.lit(1), F.length(hostport) - 3),
+        )
+        .when(
+            (scheme == "https") & hostport.endswith(":443"),
+            F.substring(hostport, F.lit(1), F.length(hostport) - 4),
+        )
         .otherwise(hostport)
     )
-    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    path = F.substring_index(tail, "?", 1)  # mirror of ^([^?]*)
     query = F.substring(tail, F.length(path) + F.lit(1), F.lit(1 << 30))
     path = F.regexp_replace(path, r"/{2,}", "/")
     path = F.when(path == "", F.lit("/")).otherwise(path)
@@ -51,13 +70,17 @@ def url_host(url: Column | str, *, canonical: bool = False) -> Column:
     """Lowercased host without port — the politeness partition key.
 
     Reference analog: ``URL.getHost`` (HttpManager.scala:52,80,88).
+    Regex-free: the first '://' splits off the scheme (never a later one —
+    query strings may embed URLs), then host = before the first '/', '?',
+    and ':' of the remainder.
     """
     u = F.col(url) if isinstance(url, str) else url
     if not canonical:
         u = canonicalize_url(u)
-    rest = F.regexp_replace(u, _SCHEME_RE, "")
-    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
-    return F.regexp_replace(hostport, r":\d+$", "")
+    pos = F.locate("://", u)
+    rest = F.when(pos > 0, F.substring(u, pos + 3, F.lit(1 << 30))).otherwise(u)
+    hostport = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
+    return F.substring_index(hostport, ":", 1)
 
 
 def url_hash(url: Column | str, *, canonical: bool = False) -> Column:
