@@ -45,6 +45,13 @@ def cosine_sql(a: str, b: str) -> str:
     return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
 
 
+def _norm(vec: Column) -> Column:
+    """sqrt(Σ v²) — precomputed once per row so an N×M pair comparison does
+    one fold per pair, not three. Same expression tree as the per-pair
+    denominator, so values are bitwise identical to inline cosine()."""
+    return F.sqrt(_dot(vec, vec))
+
+
 def brute_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -61,17 +68,27 @@ def brute_topk(
     """
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            _norm(F.col(vec_col)).alias("q_nrm"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        _norm(F.col(vec_col)).alias("n_nrm"),
+    )
     sims = (
         c.crossJoin(q)
         .filter(F.col("n_id") != F.col("q_id"))
         .select(
             "q_id",
             "n_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 8).alias("sim"),
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_nrm") * F.col("n_nrm")),
+                8,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
@@ -99,22 +116,30 @@ def assign_cells(
     """
     cent = F.broadcast(
         centroids.select(
-            F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("c_nrm"),
         )
     )
     scored = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("v_nrm"),
     ).crossJoin(cent).select(
         "id",
         "vec",
         "cell",
-        F.round(cosine(F.col("vec"), F.col("c_vec")), 8).alias("c_sim"),
+        F.round(
+            _dot(F.col("vec"), F.col("c_vec"))
+            / (F.col("v_nrm") * F.col("c_nrm")),
+            8,
+        ).alias("c_sim"),
     )
     w = Window.partitionBy("id").orderBy(F.col("c_sim").desc(), F.col("cell"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("id", "cell", "vec")
+        .select("id", "cell", "vec", _norm(F.col("vec")).alias("nrm"))
     )
 
 
@@ -136,10 +161,12 @@ def embedding_cosine_pairs(
     """
     assigned = assign_cells(corpus, centroids, id_col, vec_col)
     a = assigned.select(
-        "cell", F.col("id").alias("id_a"), F.col("vec").alias("v_a")
+        "cell", F.col("id").alias("id_a"), F.col("vec").alias("v_a"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = assigned.select(
-        "cell", F.col("id").alias("id_b"), F.col("vec").alias("v_b")
+        "cell", F.col("id").alias("id_b"), F.col("vec").alias("v_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     return (
         a.join(b, "cell")
@@ -147,7 +174,11 @@ def embedding_cosine_pairs(
         .select(
             F.col("id_a").cast("bigint"),
             F.col("id_b").cast("bigint"),
-            F.round(cosine(F.col("v_a"), F.col("v_b")), 8).alias("sim"),
+            F.round(
+                _dot(F.col("v_a"), F.col("v_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                8,
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -170,10 +201,12 @@ def ivf_topk(
     """
     assigned = assign_cells(corpus, centroids, id_col, vec_col)
     q = assign_cells(queries, centroids, id_col, vec_col).select(
-        F.col("id").alias("q_id"), F.col("cell"), F.col("vec").alias("q_vec")
+        F.col("id").alias("q_id"), F.col("cell"),
+        F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm"),
     )
     cand = assigned.select(
-        F.col("id").alias("n_id"), "cell", F.col("vec").alias("n_vec")
+        F.col("id").alias("n_id"), "cell",
+        F.col("vec").alias("n_vec"), F.col("nrm").alias("n_nrm"),
     )
     sims = (
         cand.join(F.broadcast(q), "cell")
@@ -181,7 +214,11 @@ def ivf_topk(
         .select(
             "q_id",
             "n_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 8).alias("sim"),
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_nrm") * F.col("n_nrm")),
+                8,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
