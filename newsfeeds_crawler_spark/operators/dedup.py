@@ -148,10 +148,18 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verification joins carry raw TEXT and shingle only after the join, so
+    # shingle construction runs |candidates| times, not 2×|docs| times
+    raw = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
     cand = cand_ids.join(
-        docs.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a")), "id_a"
+        raw.select(F.col("id").alias("id_a"), F.col("__txt").alias("t_a")), "id_a"
     ).join(
-        docs.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b")), "id_b"
+        raw.select(F.col("id").alias("id_b"), F.col("__txt").alias("t_b")), "id_b"
+    ).select(
+        "id_a",
+        "id_b",
+        shingles(F.col("t_a"), k_shingle).alias("g_a"),
+        shingles(F.col("t_b"), k_shingle).alias("g_b"),
     )
     inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
     union = F.size(F.array_union("g_a", "g_b")).cast("double")
