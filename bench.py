@@ -153,11 +153,22 @@ def main():
     n_frontier = int(os.environ.get("NFC_BENCH_FRONTIER", "8000000"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
 
+    local_dir = os.environ.get("NFC_SPARK_LOCAL_DIR", "/dev/shm/spark-local")
+    try:
+        os.makedirs(local_dir, exist_ok=True)
+    except OSError:
+        local_dir = None
+    conf = {"spark.ui.showConsoleProgress": "false"}
+    if local_dir:
+        # shuffle files on tmpfs: the VM's virtual disk is a serial
+        # bottleneck that caps scaling; RAM-backed shuffle is what a real
+        # cluster's NVMe-local shuffle dirs approximate
+        conf["spark.local.dir"] = local_dir
     spark = get_spark(
         "nfc-bench",
         cores=cpus,
         shuffle_partitions=max(32, cpus),
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf=conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -155,8 +155,12 @@ class CrawlEngine:
         )
         empty_metrics = self.spark.createDataFrame([], S.METRICS_SCHEMA)
         empty_errors = self.spark.createDataFrame([], S.ERRORS_SCHEMA)
+        empty_frontier_log = self.spark.createDataFrame([], S.FRONTIER_SCHEMA)
         versions = {
             "frontier": self.cat.write("frontier", f0),
+            "frontier_log": self.cat.write(
+                "frontier_log", empty_frontier_log, mode="append"
+            ),
             "hosts": self.cat.write("hosts", hosts0),
             "feeds": self.cat.write("feeds", feeds0),
             "articles": self.cat.write("articles", arts0, mode="append"),
@@ -317,52 +321,55 @@ class CrawlEngine:
         )
 
         # ---- frontier state transitions ----------------------------------
+        # The frontier table holds ONLY pending tasks; terminal transitions
+        # append to frontier_log. Per-epoch frontier I/O is therefore
+        # proportional to the ACTIVE frontier, not the ever-growing total —
+        # at a 10^10-URL crawl the all-states rewrite would dominate epoch
+        # cost. (Reference analog: tasks leave HttpManager.taskList on
+        # completion, HttpManager.scala:76-94.)
         key = ["url_canon", "e_epoch", "e_rank", "e_sub"]
-        upd = (
-            feeds_f.select(
-                *key,
-                F.lit("fetched").alias("new_state"),
-                F.lit(tick).cast("int").alias("new_fetch_epoch"),
-                F.col("admit_rank").alias("new_admit_rank"),
+        base = [f.name for f in S.FRONTIER_SCHEMA.fields]
+        carried = [c for c in base if c not in ("state", "fetch_epoch", "admit_rank")]
+
+        def terminal(df, state_col, fetch_epoch_col, admit_rank_col):
+            return df.select(
+                *carried,
+                state_col.alias("state"),
+                fetch_epoch_col.cast("int").alias("fetch_epoch"),
+                admit_rank_col.cast("int").alias("admit_rank"),
+            ).select(*base)
+
+        log_rows = (
+            terminal(
+                feeds_f, F.lit("fetched"), F.lit(tick), F.col("admit_rank")
             )
             .unionByName(
-                arts.select(
-                    *key,
-                    F.when(F.col("a_state") == "done", F.lit("done"))
-                    .otherwise(F.lit("skipped"))
-                    .alias("new_state"),
-                    F.lit(tick).cast("int").alias("new_fetch_epoch"),
-                    F.col("admit_rank").alias("new_admit_rank"),
+                terminal(
+                    arts,
+                    F.when(F.col("a_state") == "done", F.lit("done")).otherwise(
+                        F.lit("skipped")
+                    ),
+                    F.lit(tick),
+                    F.col("admit_rank"),
                 )
             )
             .unionByName(
-                denied.select(
-                    *key,
-                    F.lit("robots_denied").alias("new_state"),
-                    F.lit(None).cast("int").alias("new_fetch_epoch"),
-                    F.lit(None).cast("int").alias("new_admit_rank"),
+                terminal(
+                    denied,
+                    F.lit("robots_denied"),
+                    F.lit(None),
+                    F.lit(None),
                 )
             )
         )
+        processed = (
+            feeds_f.select(*key)
+            .unionByName(arts.select(*key))
+            .unionByName(denied.select(*key))
+        )
         frontier_new = (
-            frontier.join(upd, on=key, how="left")
-            .select(
-                "url",
-                *key[:1],
-                "url_hash",
-                "host",
-                "kind",
-                "feed_canon",
-                "parsed_pub_ts",
-                "e_epoch",
-                "e_rank",
-                "e_sub",
-                "priority",
-                F.coalesce("new_state", "state").alias("state"),
-                F.coalesce("new_fetch_epoch", "fetch_epoch").alias("fetch_epoch"),
-                F.coalesce("new_admit_rank", "admit_rank").alias("admit_rank"),
-            )
-            .select(*[f.name for f in S.FRONTIER_SCHEMA.fields])
+            frontier.join(processed, on=key, how="left_anti")
+            .select(*base)
             .unionByName(new_tasks)
         )
 
@@ -471,6 +478,7 @@ class CrawlEngine:
         # ---- snapshot commits ---------------------------------------------
         nv = dict(v)
         nv["frontier"] = cat.write("frontier", frontier_new)
+        nv["frontier_log"] = cat.write("frontier_log", log_rows, mode="append")
         nv["hosts"] = cat.write("hosts", hosts_new)
         nv["feeds"] = cat.write("feeds", feeds_new)
         nv["articles"] = cat.write("articles", article_rows, mode="append")
@@ -522,10 +530,16 @@ class CrawlEngine:
         """Fetched URLs in (fetch_epoch, admit_rank) order — the golden
         sequence compared against the oracle."""
         return (
-            self.cat.read("frontier")
+            self.cat.read("frontier_log")
             .filter(F.col("fetch_epoch").isNotNull())
             .select("url_canon", "fetch_epoch", "admit_rank")
             .orderBy("fetch_epoch", "admit_rank")
+        )
+
+    def frontier_all(self) -> DataFrame:
+        """Pending tasks ∪ terminal log — the old all-states frontier view."""
+        return self.cat.read("frontier").unionByName(
+            self.cat.read("frontier_log")
         )
 
     def articles_final(self) -> DataFrame:

@@ -110,4 +110,12 @@ ERRORS_SCHEMA = StructType(
     ]
 )
 
-STATE_TABLES = ["frontier", "hosts", "feeds", "articles", "metrics", "errors"]
+STATE_TABLES = [
+    "frontier",      # pending tasks only — rewritten per epoch
+    "frontier_log",  # terminal transitions — append-only
+    "hosts",
+    "feeds",
+    "articles",
+    "metrics",
+    "errors",
+]

@@ -117,7 +117,7 @@ def test_robots_denied_set(crawl):
     corpus, oracle, eng = crawl
     got = {
         r["url_canon"]
-        for r in eng.cat.read("frontier")
+        for r in eng.frontier_all()
         .filter(F.col("state") == "robots_denied")
         .collect()
     }
