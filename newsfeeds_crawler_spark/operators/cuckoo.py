@@ -1,0 +1,277 @@
+"""Partitioned cuckoo filter — the deletable alternative to the Bloom
+prefilter for the URL-seen set (north_star names both).
+
+Why cuckoo: a crawl's seen-set is not strictly grow-only — recrawl policies
+expire entries (P1 re-fetches newer pubDates; TTL-based recrawl drops them
+entirely). A Bloom filter cannot delete; a cuckoo filter can, at comparable
+space (~1 byte/key at 3% FPP with 8-bit fingerprints, ~2 bytes at 0.2% with
+16-bit).
+
+Design (Fan et al., "Cuckoo Filter: Practically Better Than Bloom",
+CoNEXT'14 — public paper): buckets of 4 slots, each slot a 16-bit
+fingerprint; two candidate buckets per key, i2 = i1 XOR hash(fp); eviction
+random-walk bounded at 500 kicks. All vectorized numpy; the same
+partitioned layout as operators.bloom.PartitionedBloom — one filter blob
+per ``pmod(key, num_buckets)`` partition, built with applyInPandas and
+probed with a broadcast pandas UDF.
+
+Scale note: at 10^10 keys the blobs live in the catalog as a state table
+(one row per partition), built once and mutated incrementally per epoch
+(add admitted, delete expired) — the per-epoch delta is |admitted|, never
+|seen|.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_SLOTS = 4
+_MAX_KICKS = 500
+_FP_BITS = 16
+
+_BLOB_SCHEMA = StructType(
+    [
+        StructField("bucket", IntegerType(), False),
+        StructField("table", BinaryType(), False),
+        StructField("n_buckets", LongType(), False),
+        StructField("n_items", LongType(), False),
+    ]
+)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — deterministic, vectorized."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _fingerprint(keys: np.ndarray) -> np.ndarray:
+    """16-bit fingerprints, never 0 (0 marks an empty slot)."""
+    fp = (_mix64(keys) & np.uint64(0xFFFF)).astype(np.uint16)
+    fp[fp == 0] = 1
+    return fp
+
+
+def _index1(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    return (_mix64(keys ^ np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_buckets)).astype(
+        np.int64
+    )
+
+
+def _alt_index(i: np.ndarray, fp: np.ndarray, n_buckets: int) -> np.ndarray:
+    # i2 = (i XOR mix(fp)) mod n_buckets — involutive when n_buckets is a
+    # power of two, which the constructor enforces
+    return (i.astype(np.uint64) ^ _mix64(fp.astype(np.uint64))) % np.uint64(n_buckets)
+
+
+@dataclass
+class CuckooTable:
+    """One partition's cuckoo table: (n_buckets, SLOTS) uint16."""
+
+    table: np.ndarray  # shape (n_buckets, _SLOTS), dtype uint16
+    n_items: int = 0
+
+    @classmethod
+    def with_capacity(cls, expected: int, load: float = 0.84) -> "CuckooTable":
+        need = max(int(expected / load / _SLOTS), 1)
+        n_buckets = 1 << max(int(np.ceil(np.log2(need))), 0)
+        return cls(np.zeros((n_buckets, _SLOTS), dtype=np.uint16))
+
+    # ------------------------------------------------------------ mutate
+
+    def add_many(self, keys: np.ndarray) -> int:
+        """Insert int64/uint64 keys; returns number inserted (drops on
+        table-full after MAX_KICKS — callers size capacity to avoid it)."""
+        rng = np.random.default_rng(self.table.shape[0])  # deterministic
+        keys = keys.astype(np.uint64, copy=False)
+        fps = _fingerprint(keys)
+        i1s = _index1(keys, self.table.shape[0])
+        inserted = 0
+        for fp, i1 in zip(fps, i1s):
+            if self._insert_one(int(fp), int(i1), rng):
+                inserted += 1
+        self.n_items += inserted
+        return inserted
+
+    def _insert_one(self, fp: int, i1: int, rng) -> bool:
+        nb = self.table.shape[0]
+        i2 = int(_alt_index(np.array([i1]), np.array([fp], np.uint16), nb)[0])
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = fp
+                return True
+        i = i1 if rng.integers(2) else i2
+        for _ in range(_MAX_KICKS):
+            slot = int(rng.integers(_SLOTS))
+            fp, self.table[i, slot] = int(self.table[i, slot]), fp
+            i = int(_alt_index(np.array([i]), np.array([fp], np.uint16), nb)[0])
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = fp
+                return True
+        return False  # table full
+
+    def delete_many(self, keys: np.ndarray) -> int:
+        """Remove one matching fingerprint per key; returns removals."""
+        keys = keys.astype(np.uint64, copy=False)
+        fps = _fingerprint(keys)
+        i1s = _index1(keys, self.table.shape[0])
+        nb = self.table.shape[0]
+        removed = 0
+        for fp, i1 in zip(fps, i1s):
+            i2 = int(_alt_index(np.array([i1]), np.array([fp], np.uint16), nb)[0])
+            for i in (int(i1), i2):
+                hits = np.flatnonzero(self.table[i] == fp)
+                if hits.size:
+                    self.table[i, hits[0]] = 0
+                    removed += 1
+                    break
+        self.n_items -= removed
+        return removed
+
+    # ------------------------------------------------------------- probe
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership: no false negatives."""
+        keys = keys.astype(np.uint64, copy=False)
+        fps = _fingerprint(keys)
+        i1 = _index1(keys, self.table.shape[0]).astype(np.int64)
+        i2 = _alt_index(i1, fps, self.table.shape[0]).astype(np.int64)
+        in1 = (self.table[i1] == fps[:, None]).any(axis=1)
+        in2 = (self.table[i2] == fps[:, None]).any(axis=1)
+        return in1 | in2
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, n_items: int = 0) -> "CuckooTable":
+        arr = np.frombuffer(blob, dtype=np.uint16)
+        return cls(arr.reshape(-1, _SLOTS).copy(), n_items)
+
+
+class PartitionedCuckoo:
+    """Same partitioned API as operators.bloom.PartitionedBloom: one
+    CuckooTable per ``pmod(key, num_partitions)`` shard."""
+
+    def __init__(self, tables: dict[int, CuckooTable], num_partitions: int):
+        self.tables = tables
+        self.num_partitions = num_partitions
+
+    # ------------------------------------------------------------- build
+
+    @classmethod
+    def build(
+        cls,
+        keys_df: DataFrame,
+        key: str = "url_hash",
+        num_partitions: int = 16,
+        expected_per_partition: int = 100_000,
+    ) -> "PartitionedCuckoo":
+        np_ = num_partitions
+
+        def build_part(pdf: pd.DataFrame) -> pd.DataFrame:
+            part = int(pdf["__part"].iloc[0])
+            t = CuckooTable.with_capacity(
+                max(expected_per_partition, len(pdf))
+            )
+            t.add_many(pdf["__k"].to_numpy(np.int64))
+            return pd.DataFrame(
+                {
+                    "bucket": [part],
+                    "table": [t.to_bytes()],
+                    "n_buckets": [t.table.shape[0]],
+                    "n_items": [t.n_items],
+                }
+            )
+
+        rows = (
+            keys_df.select(
+                F.col(key).alias("__k"),
+                F.pmod(F.col(key), F.lit(np_)).cast("int").alias("__part"),
+            )
+            .groupBy("__part")
+            .applyInPandas(build_part, _BLOB_SCHEMA)
+            .collect()
+        )
+        tables = {
+            r["bucket"]: CuckooTable.from_bytes(bytes(r["table"]), r["n_items"])
+            for r in rows
+        }
+        return cls(tables, np_)
+
+    # ------------------------------------------------- incremental deltas
+
+    def add_keys(self, keys: np.ndarray) -> None:
+        keys = np.asarray(keys, dtype=np.int64)
+        parts = np.mod(keys, self.num_partitions)
+        for p in np.unique(parts):
+            t = self.tables.setdefault(
+                int(p), CuckooTable.with_capacity(1024)
+            )
+            t.add_many(keys[parts == p])
+
+    def delete_keys(self, keys: np.ndarray) -> int:
+        keys = np.asarray(keys, dtype=np.int64)
+        parts = np.mod(keys, self.num_partitions)
+        removed = 0
+        for p in np.unique(parts):
+            if int(p) in self.tables:
+                removed += self.tables[int(p)].delete_many(keys[parts == p])
+        return removed
+
+    # ------------------------------------------------------------- probe
+
+    def contains_col(self, df: DataFrame, key: str) -> DataFrame:
+        blobs = {
+            p: (t.to_bytes(), t.table.shape[0], t.n_items)
+            for p, t in self.tables.items()
+        }
+        np_ = self.num_partitions
+        bc = df.sparkSession.sparkContext.broadcast(blobs)
+
+        @F.pandas_udf("boolean")
+        def member(keys: pd.Series) -> pd.Series:
+            local = {
+                p: CuckooTable.from_bytes(blob, n)
+                for p, (blob, _, n) in bc.value.items()
+            }
+            k = keys.to_numpy(np.int64)
+            parts = np.mod(k, np_)
+            out = np.zeros(len(k), dtype=bool)
+            for p in np.unique(parts):
+                t = local.get(int(p))
+                if t is not None:
+                    mask = parts == p
+                    out[mask] = t.contains_many(k[mask])
+            return pd.Series(out)
+
+        return df.withColumn("__maybe_seen", member(F.col(key)))
+
+    def split(self, df: DataFrame, key: str) -> tuple[DataFrame, DataFrame]:
+        """(maybe-seen, definitely-new) — no false negatives."""
+        probed = self.contains_col(df, key)
+        return (
+            probed.filter(F.col("__maybe_seen")).drop("__maybe_seen"),
+            probed.filter(~F.col("__maybe_seen")).drop("__maybe_seen"),
+        )

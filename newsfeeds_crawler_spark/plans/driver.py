@@ -62,7 +62,10 @@ class CrawlConfig:
     # → pure FIFO, the reference-equivalence mode the oracle checks
     depth_weight: float = 0.0
     recency_weight: float = 0.0
-    use_bloom: bool = False          # Bloom-prefilter the seen probe (J2)
+    # seen-probe prefilter (J2): "none" | "bloom" | "cuckoo" — cuckoo
+    # supports deletion (recrawl-expiry), bloom is cheaper to build
+    seen_filter: str = "none"
+    use_bloom: bool = False          # back-compat alias for seen_filter="bloom"
     bloom_fpp: float = 0.01
     bloom_expected_per_bucket: int = 100_000
 
@@ -239,7 +242,8 @@ class CrawlEngine:
             .drop("__rn")
         )
         bloom = None
-        if cfg.use_bloom:
+        which = "bloom" if cfg.use_bloom else cfg.seen_filter
+        if which == "bloom":
             # at 10^10 the blobs live in a filter state table maintained by
             # bitwise-OR epoch deltas (PartitionedBloom.merge); rebuilding per
             # epoch is fine at test scale and keeps this round simple
@@ -250,6 +254,17 @@ class CrawlEngine:
                 num_buckets=cfg.num_host_buckets,
                 expected_per_bucket=cfg.bloom_expected_per_bucket,
                 fpp=cfg.bloom_fpp,
+            )
+        elif which == "cuckoo":
+            # deletable variant: at scale the blobs persist in the catalog
+            # and recrawl-expired keys are delete_keys()-ed per epoch
+            from newsfeeds_crawler_spark.operators.cuckoo import PartitionedCuckoo
+
+            bloom = PartitionedCuckoo.build(
+                store_latest.select("url_hash"),
+                key="url_hash",
+                num_partitions=cfg.num_host_buckets,
+                expected_per_partition=cfg.bloom_expected_per_bucket,
             )
         probed = probe(items, store_latest, hash_key="item_hash", bloom=bloom).withColumn(
             "fetch_flag",
