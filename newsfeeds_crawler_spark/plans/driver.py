@@ -58,6 +58,9 @@ class CrawlConfig:
     salt_partitions: int = 0         # >0 enables salted pre-rank (hot hosts)
     max_epochs: int = 10_000
     compact_articles_every: int = 0  # 0 = never
+    # prune unreachable snapshot versions every N epochs (0 = never);
+    # keeps the resume point plus one prior version per table
+    vacuum_every: int = 0
     # priority frontier weights (north_star): both 0.0 → constant priority
     # → pure FIFO, the reference-equivalence mode the oracle checks
     depth_weight: float = 0.0
@@ -526,6 +529,12 @@ class CrawlEngine:
             cat.commit_epoch(tick + 1, versions, meta=meta)
             if progress:
                 print(f"[crawl] {meta}")
+            if cfg.vacuum_every and (tick + 1) % cfg.vacuum_every == 0:
+                from newsfeeds_crawler_spark.plans import state as _S
+
+                for t in _S.STATE_TABLES:
+                    if cat.exists(t):
+                        cat.vacuum(t, keep_last=2)
             if (
                 cfg.compact_articles_every
                 and (tick + 1) % cfg.compact_articles_every == 0
