@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--workdir", required=True, help="state-table root (created)")
     ap.add_argument("--feeds", type=int, default=10)
     ap.add_argument("--items", type=int, default=20)
+    ap.add_argument("--hosts", type=int, default=6)
     ap.add_argument("--epochs", type=int, default=10_000)
     ap.add_argument("--workers", type=int, default=3,
                     help="global in-flight cap (reference http.workersNum)")
@@ -57,7 +58,11 @@ def main():
 
     spark = get_spark("nfc-crawl", cores=args.cores)
     spark.sparkContext.setLogLevel("WARN")
-    corpus = synthesize(CorpusSpec(n_feeds=args.feeds, items_per_feed=args.items))
+    corpus = synthesize(
+        CorpusSpec(
+            n_feeds=args.feeds, items_per_feed=args.items, n_hosts=args.hosts
+        )
+    )
     cfg = CrawlConfig(
         workers=args.workers,
         max_epochs=args.epochs,
@@ -75,10 +80,15 @@ def main():
         preseen_df(spark, corpus),
         cfg,
     )
+    import time as _time
+
+    t0 = _time.time()
     result = engine.run(resume=args.resume, progress=True)
+    crawl_s = _time.time() - t0
     arts = engine.articles_final()
     summary = {
         "epochs": result["epochs"],
+        "crawl_seconds": round(crawl_s, 2),
         "fetched": engine.crawl_order().count(),
         "articles": arts.filter(arts["action"] != "preseen").count(),
         "feeds_done": engine.feeds_final().filter("state = 'done'").count(),
