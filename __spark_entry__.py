@@ -415,6 +415,34 @@ def q_text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-dashboard rollup: per (event_type, user-bucket) counts with
+    subtotal and grand-total rows (ROLLUP grouping sets)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("bigint")
+    )
+    return ev.rollup("event_type", "user_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rate dashboard: per-source doc counts, distinct texts, and the
+    duplicate fraction a curation pipeline tracks."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct(F.col("text")).cast("bigint").alias("n_distinct"),
+        F.round(
+            F.lit(1.0)
+            - F.count_distinct(F.col("text"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
 def q_image_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U4 — multimodal plumbing: deterministic synthetic images encoded per
     row (PPM/BMP/zlib-PNG by doc_id % 3) inside mapInPandas, then the real
@@ -496,6 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_stats": q_text_stats,
         "text_lang_quality": q_text_lang_quality,
+        "metrics_rollup": q_metrics_rollup,
+        "dedup_rate_by_source": q_dedup_rate_by_source,
         "image_decode_roundtrip": q_image_decode_roundtrip,
     }
 
@@ -715,6 +745,20 @@ def oracle_sql() -> dict[str, str]:
                    {_quality_sql()} AS quality,
                    round({_sw_ratio_sql(STOPWORDS_EN)}, 6) AS stop_ratio
             FROM documents
+        """,
+        "metrics_rollup": """
+            SELECT event_type, user_bucket, count(*)::BIGINT AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM (SELECT event_type, (user_id % 10)::BIGINT AS user_bucket,
+                         value FROM events)
+            GROUP BY ROLLUP (event_type, user_bucket)
+        """,
+        "dedup_rate_by_source": """
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   count(DISTINCT text)::BIGINT AS n_distinct,
+                   round(1.0 - count(DISTINCT text) / count(*)::DOUBLE, 6)
+                       AS dup_rate
+            FROM documents GROUP BY source
         """,
         # image_decode_roundtrip: intentionally omitted (rows-only check) —
         # binary image codecs are not SQL-expressible.
