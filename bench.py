@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "similarity_ivf_topk",
     "text_stats",
     "text_lang_quality",
+    "metrics_rollup",
+    "dedup_rate_by_source",
     "image_decode_roundtrip",
 ]
 

@@ -103,12 +103,24 @@ def admit(
 
     ``host_state``: host, last_access_epoch, delay_epochs (broadcast dim).
     ``salt_partitions`` > 0 pre-ranks with a salted sub-window (hot-host skew).
+
+    LATE MATERIALIZATION: the windows rank a narrow projection (host +
+    order key only — fixed-width longs plus one small string), so the
+    frontier's URL strings never enter the window shuffles/sorts; the
+    winning keys (≤ ``workers`` rows) broadcast-join back to ``pending``
+    to recover full rows. At a 10^10 frontier the window sort dominates
+    admission cost, and sorting 30-byte keys instead of ~250-byte rows is
+    the difference.
     """
-    key = _order_key(pending)
+    narrow_cols = ["host", *FIFO_KEY] + (
+        ["priority"] if "priority" in pending.columns else []
+    )
+    narrow = pending.select(*narrow_cols)
+    key = _order_key(narrow)
     if salt_partitions > 0:
         w_salt = Window.partitionBy("host", "__salt").orderBy(*key)
-        pending = (
-            pending.withColumn(
+        narrow = (
+            narrow.withColumn(
                 "__salt", F.pmod(F.col("e_sub"), F.lit(salt_partitions))
             )
             .withColumn("__rs", F.row_number().over(w_salt))
@@ -116,7 +128,7 @@ def admit(
             .drop("__salt", "__rs")
         )
     w_host = Window.partitionBy("host").orderBy(*key)
-    head = pending.withColumn("__rn_host", F.row_number().over(w_host)).filter(
+    head = narrow.withColumn("__rn_host", F.row_number().over(w_host)).filter(
         F.col("__rn_host") == 1
     )
     cand = head.join(
@@ -128,9 +140,14 @@ def admit(
         | (F.lit(epoch) >= F.col("last_access_epoch") + F.col("delay_epochs"))
     )
     w_glob = Window.orderBy(*key)  # candidates <= #admissible hosts, not frontier
-    admitted = (
+    winners = (
         cand.withColumn("admit_rank", F.row_number().over(w_glob) - 1)
         .filter(F.col("admit_rank") < workers)
-        .drop("__rn_host", "last_access_epoch", "delay_epochs")
+        .select(*FIFO_KEY, "host", "admit_rank")
     )
-    return admitted
+    # FIFO key is unique per task; winners <= workers rows -> broadcast.
+    # pending may carry a (null) admit_rank column of its own — the
+    # winners' rank replaces it.
+    return pending.drop("admit_rank").join(
+        F.broadcast(winners), [*FIFO_KEY, "host"], "inner"
+    )
