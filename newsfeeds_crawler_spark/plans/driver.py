@@ -162,11 +162,13 @@ class CrawlEngine:
         empty_metrics = self.spark.createDataFrame([], S.METRICS_SCHEMA)
         empty_errors = self.spark.createDataFrame([], S.ERRORS_SCHEMA)
         empty_frontier_log = self.spark.createDataFrame([], S.FRONTIER_SCHEMA)
+        seen0 = arts0.select("url_canon", "url_hash", "article_id", "pub_ts")
         versions = {
             "frontier": self.cat.write("frontier", f0),
             "frontier_log": self.cat.write(
                 "frontier_log", empty_frontier_log, mode="append"
             ),
+            "seen_urls": self.cat.write("seen_urls", seen0),
             "hosts": self.cat.write("hosts", hosts0),
             "feeds": self.cat.write("feeds", feeds0),
             "articles": self.cat.write("articles", arts0, mode="append"),
@@ -204,7 +206,9 @@ class CrawlEngine:
             v["metrics"] = cat.write("metrics", mrow, mode="append")
             return v, {"epoch": tick, "admitted": 0, "stalls": n_stall}
 
-        store_latest = latest_articles(cat.read("articles", v["articles"]))
+        # probe store: one row per URL, maintained incrementally below —
+        # never a latest-per-key window over the whole articles log
+        store_latest = cat.read("seen_urls", v["seen_urls"])
 
         # ---- fetch (S5) + split ------------------------------------------
         fetched = fetch(admitted, self.corpus).localCheckpoint(eager=True)
@@ -497,6 +501,17 @@ class CrawlEngine:
         nv = dict(v)
         nv["frontier"] = cat.write("frontier", frontier_new)
         nv["frontier_log"] = cat.write("frontier_log", log_rows, mode="append")
+        # incremental seen-store merge: this epoch's upserts replace their
+        # old rows (anti-join) — per-epoch work ∝ |seen| copy, never a
+        # window over the whole articles history; with a bucketed catalog
+        # only touched buckets rewrite
+        seen_upserts = article_rows.select(
+            "url_canon", "url_hash", "article_id", "pub_ts"
+        )
+        seen_new = store_latest.join(
+            seen_upserts.select("url_canon"), "url_canon", "left_anti"
+        ).unionByName(seen_upserts)
+        nv["seen_urls"] = cat.write("seen_urls", seen_new)
         nv["hosts"] = cat.write("hosts", hosts_new)
         nv["feeds"] = cat.write("feeds", feeds_new)
         nv["articles"] = cat.write("articles", article_rows, mode="append")

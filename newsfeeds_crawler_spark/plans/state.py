@@ -110,9 +110,22 @@ ERRORS_SCHEMA = StructType(
     ]
 )
 
+# seen-probe store: ONE row per url_canon (latest pub_ts + preseen id),
+# maintained incrementally per epoch — the probe path never re-derives
+# latest-per-key from the append-only articles log
+SEEN_URLS_SCHEMA = StructType(
+    [
+        StructField("url_canon", StringType(), False),
+        StructField("url_hash", LongType(), False),
+        StructField("article_id", LongType(), True),
+        StructField("pub_ts", TimestampType(), True),
+    ]
+)
+
 STATE_TABLES = [
     "frontier",      # pending tasks only — rewritten per epoch
     "frontier_log",  # terminal transitions — append-only
+    "seen_urls",     # probe store — one row per URL, incrementally merged
     "hosts",
     "feeds",
     "articles",
