@@ -272,12 +272,17 @@ def q_politeness_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_frontier_fifo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1+W4 — global FIFO rank with the worker-pool cap (96 in flight)."""
+    """W1+W4 — global FIFO rank with the worker-pool cap (96 in flight).
+
+    Two-level top-k: orderBy().limit() plans as TakeOrderedAndProject
+    (per-partition partial top-k + final merge), so no single-partition
+    Window ever sees the full table; the rank window input is ≤ 96 rows.
+    """
     ev = _t(spark, sf_dir, "events")
+    topk = ev.select("event_id", "ts").orderBy("ts", "event_id").limit(96)
     w = Window.orderBy("ts", "event_id")
     return (
-        ev.withColumn("fifo_rank", F.row_number().over(w))
-        .filter(F.col("fifo_rank") <= 96)
+        topk.withColumn("fifo_rank", F.row_number().over(w))
         .select("event_id", F.col("fifo_rank").cast("int"))
     )
 

@@ -107,10 +107,10 @@ def crawl_throughput(spark: SparkSession, n_urls: int, n_hosts: int = 20_000,
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    w_glob = Window.orderBy("id")
-    admitted = admitted.withColumn(
-        "admit_rank", F.row_number().over(w_glob) - 1
-    ).filter(F.col("admit_rank") < workers)
+    # two-level top-k: TakeOrderedAndProject, then rank ≤ workers survivors
+    admitted = admitted.orderBy("id").limit(workers)
+    w_glob = Window.orderBy("id")  # input bounded by limit(workers)
+    admitted = admitted.withColumn("admit_rank", F.row_number().over(w_glob) - 1)
     # re-materialize the URL for admitted rows only, then robots prefix
     # check (substring_index + startswith, the robots_split shape — an
     # unanchored rlike here cost ~5 µs/row) and simulated fetch + extract.

@@ -81,12 +81,27 @@ def _alt_index(i: np.ndarray, fp: np.ndarray, n_buckets: int) -> np.ndarray:
     return (i.astype(np.uint64) ^ _mix64(fp.astype(np.uint64))) % np.uint64(n_buckets)
 
 
+_STASH_MAGIC = 0x0C0C0C0C
+
+
 @dataclass
 class CuckooTable:
-    """One partition's cuckoo table: (n_buckets, SLOTS) uint16."""
+    """One partition's cuckoo table: (n_buckets, SLOTS) uint16, plus a
+    lossless overflow STASH: when an insert still has a homeless
+    fingerprint after MAX_KICKS, the evicted (index, fp) pair is stashed
+    instead of silently dropped — silent drops would be false negatives,
+    violating split()'s no-false-negatives contract (a seen URL would
+    bypass the exact probe join and be re-fetched, diverging crawl order).
+    The stash is checked linearly on probe; it stays tiny because capacity
+    is sized for ~84% load."""
 
     table: np.ndarray  # shape (n_buckets, _SLOTS), dtype uint16
     n_items: int = 0
+    stash: list | None = None  # list[(bucket_index, fp)]
+
+    def __post_init__(self):
+        if self.stash is None:
+            self.stash = []
 
     @classmethod
     def with_capacity(cls, expected: int, load: float = 0.84) -> "CuckooTable":
@@ -97,18 +112,16 @@ class CuckooTable:
     # ------------------------------------------------------------ mutate
 
     def add_many(self, keys: np.ndarray) -> int:
-        """Insert int64/uint64 keys; returns number inserted (drops on
-        table-full after MAX_KICKS — callers size capacity to avoid it)."""
+        """Insert int64/uint64 keys; ALWAYS inserts every key (overflow
+        lands in the stash — never a silent drop). Returns len(keys)."""
         rng = np.random.default_rng(self.table.shape[0])  # deterministic
         keys = keys.astype(np.uint64, copy=False)
         fps = _fingerprint(keys)
         i1s = _index1(keys, self.table.shape[0])
-        inserted = 0
         for fp, i1 in zip(fps, i1s):
-            if self._insert_one(int(fp), int(i1), rng):
-                inserted += 1
-        self.n_items += inserted
-        return inserted
+            self._insert_one(int(fp), int(i1), rng)
+        self.n_items += len(keys)
+        return len(keys)
 
     def _insert_one(self, fp: int, i1: int, rng) -> bool:
         nb = self.table.shape[0]
@@ -129,7 +142,12 @@ class CuckooTable:
             if empty.size:
                 row[empty[0]] = fp
                 return True
-        return False  # table full
+        # table full: stash the homeless fingerprint (note: after kicking,
+        # fp belongs to some PREVIOUSLY inserted key, and i is one of that
+        # key's two candidate buckets — stashing (i, fp) keeps its
+        # membership test positive)
+        self.stash.append((int(i), int(fp)))
+        return True
 
     def delete_many(self, keys: np.ndarray) -> int:
         """Remove one matching fingerprint per key; returns removals."""
@@ -140,12 +158,20 @@ class CuckooTable:
         removed = 0
         for fp, i1 in zip(fps, i1s):
             i2 = int(_alt_index(np.array([i1]), np.array([fp], np.uint16), nb)[0])
+            hit = False
             for i in (int(i1), i2):
                 hits = np.flatnonzero(self.table[i] == fp)
                 if hits.size:
                     self.table[i, hits[0]] = 0
                     removed += 1
+                    hit = True
                     break
+            if not hit:
+                for si, (bi, bfp) in enumerate(self.stash):
+                    if bfp == int(fp) and bi in (int(i1), i2):
+                        del self.stash[si]
+                        removed += 1
+                        break
         self.n_items -= removed
         return removed
 
@@ -159,15 +185,41 @@ class CuckooTable:
         i2 = _alt_index(i1, fps, self.table.shape[0]).astype(np.int64)
         in1 = (self.table[i1] == fps[:, None]).any(axis=1)
         in2 = (self.table[i2] == fps[:, None]).any(axis=1)
-        return in1 | in2
+        out = in1 | in2
+        for bi, bfp in self.stash:
+            out |= (fps == np.uint16(bfp)) & ((i1 == bi) | (i2 == bi))
+        return out
 
     def to_bytes(self) -> bytes:
-        return self.table.tobytes()
+        """table bytes + stash trailer: [(i<<16|fp) u64 ...][n u32][magic u32]."""
+        parts = [self.table.tobytes()]
+        if self.stash:
+            packed = np.array(
+                [(i << 16) | fp for i, fp in self.stash], dtype=np.uint64
+            )
+            parts.append(packed.tobytes())
+        parts.append(
+            np.array([len(self.stash), _STASH_MAGIC], dtype=np.uint32).tobytes()
+        )
+        return b"".join(parts)
 
     @classmethod
     def from_bytes(cls, blob: bytes, n_items: int = 0) -> "CuckooTable":
-        arr = np.frombuffer(blob, dtype=np.uint16)
-        return cls(arr.reshape(-1, _SLOTS).copy(), n_items)
+        trailer = np.frombuffer(blob[-8:], dtype=np.uint32)
+        if len(blob) >= 8 and trailer[1] == _STASH_MAGIC:
+            n_stash = int(trailer[0])
+            stash_bytes = n_stash * 8
+            packed = np.frombuffer(
+                blob[len(blob) - 8 - stash_bytes : len(blob) - 8], dtype=np.uint64
+            )
+            stash = [(int(v >> np.uint64(16)), int(v & np.uint64(0xFFFF)))
+                     for v in packed]
+            table_blob = blob[: len(blob) - 8 - stash_bytes]
+        else:  # legacy blob without trailer
+            stash = []
+            table_blob = blob
+        arr = np.frombuffer(table_blob, dtype=np.uint16)
+        return cls(arr.reshape(-1, _SLOTS).copy(), n_items, stash)
 
 
 class PartitionedCuckoo:
@@ -226,10 +278,11 @@ class PartitionedCuckoo:
         keys = np.asarray(keys, dtype=np.int64)
         parts = np.mod(keys, self.num_partitions)
         for p in np.unique(parts):
+            part_keys = keys[parts == p]
             t = self.tables.setdefault(
-                int(p), CuckooTable.with_capacity(1024)
+                int(p), CuckooTable.with_capacity(max(1024, 2 * len(part_keys)))
             )
-            t.add_many(keys[parts == p])
+            t.add_many(part_keys)
 
     def delete_keys(self, keys: np.ndarray) -> int:
         keys = np.asarray(keys, dtype=np.int64)

@@ -60,23 +60,69 @@ def parse_feed_udf(body: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def fetch(admitted: DataFrame, corpus: DataFrame) -> DataFrame:
+PAYLOAD_COLS = ["status", "body", "bytes", "w", "h", "fmt", "caption", "phash"]
+
+
+def fetch(
+    admitted: DataFrame,
+    corpus: DataFrame,
+    num_buckets: int = 0,
+    materialize: bool = True,
+) -> DataFrame:
     """Simulated-fetch join. Adds body (null unless status 200) and the
-    corpus payload columns. Left join: URLs absent from the corpus behave
-    like connection failures (null body)."""
+    corpus payload columns; URLs absent from the corpus behave like
+    connection failures (null body).
+
+    Scale shape: ``admitted`` is ≤ ``workers`` rows per epoch while the
+    corpus is the 100 TB side, so a plain ``admitted LEFT JOIN corpus``
+    (stream side left ⇒ Spark cannot broadcast admitted) would shuffle the
+    whole corpus. Instead: **inner join with broadcast(admitted) pushed
+    into the corpus scan** (zero corpus shuffle) ∪ anti-join null rows for
+    connection failures. ``materialize=True`` localCheckpoints the inner
+    hits so the corpus is scanned exactly once.
+
+    ``num_buckets`` > 0 and a ``bucket`` partition column on ``corpus``
+    additionally prune the scan to the admitted keys' buckets
+    (partition pruning — only touched buckets are read at all).
+    """
+    if num_buckets > 0 and "bucket" in corpus.columns:
+        touched = [
+            r["b"]
+            for r in admitted.select(
+                F.pmod(F.xxhash64("url_canon"), F.lit(num_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        corpus = corpus.where(F.col("bucket").isin(touched))
     payload = corpus.select(
         F.col("url_canon").alias("__cu"),
         F.col("status"),
         F.col("body").alias("__raw_body"),
         "bytes", "w", "h", "fmt", "caption", "phash",
     )
-    fetched = admitted.join(payload, admitted["url_canon"] == F.col("__cu"), "left")
+    adm = F.broadcast(admitted)
+    hits = payload.join(adm, F.col("__cu") == adm["url_canon"], "inner").drop("__cu")
+    if materialize:
+        hits = hits.localCheckpoint(eager=True)
+    misses = admitted.join(
+        F.broadcast(hits.select("url_canon")), "url_canon", "left_anti"
+    )
+    for c, t in (
+        ("status", "int"), ("__raw_body", "string"), ("bytes", "binary"),
+        ("w", "int"), ("h", "int"), ("fmt", "string"),
+        ("caption", "string"), ("phash", "long"),
+    ):
+        misses = misses.withColumn(c, F.lit(None).cast(t))
+    fetched = hits.unionByName(misses.select(*hits.columns))
     return fetched.withColumn(
         "body",
         F.when(F.col("status") == 200, F.col("__raw_body")).otherwise(
             F.lit(None).cast("string")
         ),
-    ).drop("__cu", "__raw_body")
+    ).drop("__raw_body")
 
 
 def explode_items(parsed_feeds: DataFrame) -> DataFrame:

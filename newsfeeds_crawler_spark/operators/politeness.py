@@ -139,10 +139,17 @@ def admit(
         F.col("last_access_epoch").isNull()
         | (F.lit(epoch) >= F.col("last_access_epoch") + F.col("delay_epochs"))
     )
-    w_glob = Window.orderBy(*key)  # candidates <= #admissible hosts, not frontier
+    # W4 worker cap as a TWO-LEVEL top-k: orderBy().limit(k) plans as
+    # TakeOrderedAndProject (per-partition top-k, then a final merge of
+    # ≤ k×P survivors) — no single-partition Window over all candidates,
+    # which at 10^8 admissible hosts would be one task sorting everything.
+    # The residual rank window then sees ≤ ``workers`` rows.
+    topk = cand.select(*FIFO_KEY, "host", *(
+        ["priority"] if "priority" in cand.columns else []
+    )).orderBy(*key).limit(workers)
+    w_glob = Window.orderBy(*key)  # input bounded by limit(workers)
     winners = (
-        cand.withColumn("admit_rank", F.row_number().over(w_glob) - 1)
-        .filter(F.col("admit_rank") < workers)
+        topk.withColumn("admit_rank", F.row_number().over(w_glob) - 1)
         .select(*FIFO_KEY, "host", "admit_rank")
     )
     # FIFO key is unique per task; winners <= workers rows -> broadcast.

@@ -71,6 +71,14 @@ class CrawlConfig:
     use_bloom: bool = False          # back-compat alias for seen_filter="bloom"
     bloom_fpp: float = 0.01
     bloom_expected_per_bucket: int = 100_000
+    # > 0: materialize the corpus hash-bucketed by pmod(xxhash64(url_canon))
+    # in the workdir once, then partition-prune every epoch's fetch scan to
+    # the admitted keys' buckets (J5 storage-partitioned shape)
+    corpus_buckets: int = 0
+    # > 0: keep seen_urls as a hash-bucketed catalog table — the per-epoch
+    # merge rewrites ONLY the buckets touched by that epoch's upserts
+    # (Catalog.merge_bucketed) instead of copying the whole store
+    seen_buckets: int = 0
 
 
 class CrawlEngine:
@@ -91,6 +99,29 @@ class CrawlEngine:
         self._hosts_src = hosts
         self._seeds_src = seeds
         self._preseen_src = preseen
+        if self.cfg.corpus_buckets > 0:
+            self.corpus = self._bucketed_corpus(workdir, corpus)
+
+    def _bucketed_corpus(self, workdir: str, corpus: DataFrame) -> DataFrame:
+        """One-time bucketed materialization of the corpus (idempotent on
+        resume): partition layout bucket=pmod(xxhash64(url_canon), B) so the
+        per-epoch fetch scan prunes to the admitted keys' buckets."""
+        import os
+
+        from newsfeeds_crawler_spark.sources.frontier import write_bucketed
+
+        B = self.cfg.corpus_buckets
+        path = os.path.join(workdir, f"_corpus_b{B}")
+        marker = os.path.join(path, "_DONE")
+        if not os.path.exists(marker):
+            write_bucketed(
+                corpus.withColumn("__h", F.xxhash64("url_canon")),
+                path,
+                key="__h",
+                num_buckets=B,
+            )
+            open(marker, "w").close()
+        return self.spark.read.parquet(path).drop("__h")
 
     # ------------------------------------------------------------- init
 
@@ -163,12 +194,18 @@ class CrawlEngine:
         empty_errors = self.spark.createDataFrame([], S.ERRORS_SCHEMA)
         empty_frontier_log = self.spark.createDataFrame([], S.FRONTIER_SCHEMA)
         seen0 = arts0.select("url_canon", "url_hash", "article_id", "pub_ts")
+        if cfg.seen_buckets > 0:
+            seen_v = self.cat.write_bucketed(
+                "seen_urls", seen0, key="url_hash", num_buckets=cfg.seen_buckets
+            )
+        else:
+            seen_v = self.cat.write("seen_urls", seen0)
         versions = {
             "frontier": self.cat.write("frontier", f0),
             "frontier_log": self.cat.write(
                 "frontier_log", empty_frontier_log, mode="append"
             ),
-            "seen_urls": self.cat.write("seen_urls", seen0),
+            "seen_urls": seen_v,
             "hosts": self.cat.write("hosts", hosts0),
             "feeds": self.cat.write("feeds", feeds0),
             "articles": self.cat.write("articles", arts0, mode="append"),
@@ -203,7 +240,9 @@ class CrawlEngine:
                 [(tick, -1, 0, n_stall, 0, 0, 0)], S.METRICS_SCHEMA
             )
             v = dict(v)
-            v["metrics"] = cat.write("metrics", mrow, mode="append")
+            v["metrics"] = cat.write(
+                "metrics", mrow, mode="append", base_version=v["metrics"]
+            )
             return v, {"epoch": tick, "admitted": 0, "stalls": n_stall}
 
         # probe store: one row per URL, maintained incrementally below —
@@ -211,7 +250,9 @@ class CrawlEngine:
         store_latest = cat.read("seen_urls", v["seen_urls"])
 
         # ---- fetch (S5) + split ------------------------------------------
-        fetched = fetch(admitted, self.corpus).localCheckpoint(eager=True)
+        fetched = fetch(
+            admitted, self.corpus, num_buckets=cfg.corpus_buckets
+        ).localCheckpoint(eager=True)
         feeds_f = (
             fetched.filter(F.col("kind") == "feed")
             .withColumn("parsed", parse_feed_udf(F.col("body")))
@@ -500,7 +541,9 @@ class CrawlEngine:
         # ---- snapshot commits ---------------------------------------------
         nv = dict(v)
         nv["frontier"] = cat.write("frontier", frontier_new)
-        nv["frontier_log"] = cat.write("frontier_log", log_rows, mode="append")
+        nv["frontier_log"] = cat.write(
+            "frontier_log", log_rows, mode="append", base_version=v["frontier_log"]
+        )
         # incremental seen-store merge: this epoch's upserts replace their
         # old rows (anti-join) — per-epoch work ∝ |seen| copy, never a
         # window over the whole articles history; with a bucketed catalog
@@ -508,15 +551,30 @@ class CrawlEngine:
         seen_upserts = article_rows.select(
             "url_canon", "url_hash", "article_id", "pub_ts"
         )
-        seen_new = store_latest.join(
-            seen_upserts.select("url_canon"), "url_canon", "left_anti"
-        ).unionByName(seen_upserts)
-        nv["seen_urls"] = cat.write("seen_urls", seen_new)
+        if cfg.seen_buckets > 0:
+            # rewrite only touched buckets: per-epoch seen I/O ∝ upserts
+            nv["seen_urls"] = cat.merge_bucketed(
+                "seen_urls",
+                seen_upserts,
+                on="url_canon",
+                base_version=v["seen_urls"],
+            )
+        else:
+            seen_new = store_latest.join(
+                seen_upserts.select("url_canon"), "url_canon", "left_anti"
+            ).unionByName(seen_upserts)
+            nv["seen_urls"] = cat.write("seen_urls", seen_new)
         nv["hosts"] = cat.write("hosts", hosts_new)
         nv["feeds"] = cat.write("feeds", feeds_new)
-        nv["articles"] = cat.write("articles", article_rows, mode="append")
-        nv["metrics"] = cat.write("metrics", metrics_new, mode="append")
-        nv["errors"] = cat.write("errors", errors_new, mode="append")
+        nv["articles"] = cat.write(
+            "articles", article_rows, mode="append", base_version=v["articles"]
+        )
+        nv["metrics"] = cat.write(
+            "metrics", metrics_new, mode="append", base_version=v["metrics"]
+        )
+        nv["errors"] = cat.write(
+            "errors", errors_new, mode="append", base_version=v["errors"]
+        )
 
         summary = {
             "epoch": tick,
@@ -569,7 +627,7 @@ class CrawlEngine:
         """Fetched URLs in (fetch_epoch, admit_rank) order — the golden
         sequence compared against the oracle."""
         return (
-            self.cat.read("frontier_log")
+            self.cat.read_committed("frontier_log")
             .filter(F.col("fetch_epoch").isNotNull())
             .select("url_canon", "fetch_epoch", "admit_rank")
             .orderBy("fetch_epoch", "admit_rank")
@@ -577,15 +635,15 @@ class CrawlEngine:
 
     def frontier_all(self) -> DataFrame:
         """Pending tasks ∪ terminal log — the old all-states frontier view."""
-        return self.cat.read("frontier").unionByName(
-            self.cat.read("frontier_log")
+        return self.cat.read_committed("frontier").unionByName(
+            self.cat.read_committed("frontier_log")
         )
 
     def articles_final(self) -> DataFrame:
-        return latest_articles(self.cat.read("articles"))
+        return latest_articles(self.cat.read_committed("articles"))
 
     def feeds_final(self) -> DataFrame:
-        return self.cat.read("feeds")
+        return self.cat.read_committed("feeds")
 
     def metrics_df(self) -> DataFrame:
-        return self.cat.read("metrics")
+        return self.cat.read_committed("metrics")

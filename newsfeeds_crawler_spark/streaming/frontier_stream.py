@@ -58,10 +58,12 @@ def _admit_batch(batch: DataFrame, seen_dir: str, out_dir: str,
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    w_glob = Window.orderBy("seq")
+    # two-level top-k (TakeOrderedAndProject): never a single-partition
+    # Window over the whole micro-batch
+    admitted = admitted.orderBy("seq").limit(workers)
+    w_glob = Window.orderBy("seq")  # input bounded by limit(workers)
     admitted = (
         admitted.withColumn("admit_rank", F.row_number().over(w_glob) - 1)
-        .filter(F.col("admit_rank") < workers)
         .withColumn("batch_id", F.lit(batch_id).cast("long"))
     )
     admitted.persist()

@@ -102,6 +102,7 @@ class Catalog:
         mode: str = "overwrite",
         meta: dict | None = None,
         partition_by: list[str] | None = None,
+        base_version: int | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot. ``mode``:
 
@@ -110,6 +111,15 @@ class Catalog:
         - ``append`` — snapshot references prior files + new files
           (for grow-only tables like ``seen_urls``/``articles``/``metrics``
           — no rewrite of existing data, the scale-critical path).
+
+        ``base_version`` (append mode): chain the new snapshot's file list
+        from this explicit version instead of LATEST. Epoch-transactional
+        writers MUST pass the epoch-pinned version: if a prior run died
+        between an append and its ``commit_epoch``, LATEST points at an
+        orphan snapshot already containing the tick's rows — chaining from
+        it would double-append them on the re-run. Chaining from the pinned
+        base makes the re-run write an equivalent snapshot and leaves the
+        orphan unreachable (crash-safe idempotent replay).
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"bad mode {mode!r}")
@@ -122,7 +132,9 @@ class Catalog:
         writer.parquet(out)
         dirs = [data_rel]
         if mode == "append" and self.exists(name):
-            dirs = self._manifest(name, self.current_version(name))["data_dirs"] + dirs
+            base = self.current_version(name) if base_version is None else base_version
+            if base > 0:
+                dirs = self._manifest(name, base)["data_dirs"] + dirs
         return self._commit(name, dirs, meta)
 
     # -------------------------------------------------------------- read
@@ -135,6 +147,18 @@ class Catalog:
         paths = [os.path.join(self._tdir(name), d) for d in dirs]
         return self.spark.read.parquet(*paths)
 
+    def read_committed(self, name: str) -> DataFrame:
+        """Read ``name`` at the version pinned by the last committed epoch
+        (fallback: LATEST when no epoch manifest pins it). Result readers
+        use this so a snapshot written by a crashed tick — committed at the
+        table level but never epoch-committed — stays invisible."""
+        e = self.last_epoch()
+        if e >= 0:
+            v = self.epoch_tables(e).get(name)
+            if v:
+                return self.read(name, v)
+        return self.read(name)
+
     def read_or_empty(self, name: str, schema) -> DataFrame:
         if self.exists(name):
             return self.read(name)
@@ -143,6 +167,100 @@ class Catalog:
     def meta(self, name: str, version: int | None = None) -> dict:
         v = self.current_version(name) if version is None else version
         return self._manifest(name, v)["meta"]
+
+    # --------------------------------------------------- bucketed tables
+    #
+    # Hash-bucketed layout for the big mutable state tables (seen_urls at
+    # 10^10 rows): each snapshot's manifest references BUCKET-level data
+    # dirs (data/<commit>/__bucket=N), so a merge rewrites only the buckets
+    # its source rows hash into and re-references every other bucket's
+    # existing files. Per-epoch merge I/O is ∝ touched buckets, never
+    # O(|table|) — the bulk analog of the reference's UNIQUE-index point
+    # update (MysqlFeedArticleDao.scala:58-74). With a real Iceberg catalog
+    # this is MERGE INTO over a bucket-partitioned table.
+
+    @staticmethod
+    def _bucket_of(rel_dir: str) -> int:
+        return int(rel_dir.rsplit("__bucket=", 1)[1])
+
+    def _write_bucket_dirs(self, name: str, df: DataFrame, key: str,
+                           num_buckets: int) -> list[str]:
+        """Write df partitioned by pmod(key, B); return bucket-level rel dirs."""
+        commit_id = uuid.uuid4().hex
+        data_rel = os.path.join("data", commit_id)
+        out = os.path.join(self._tdir(name), data_rel)
+        (
+            df.withColumn(
+                "__bucket",
+                F.pmod(F.col(key), F.lit(num_buckets)).cast("int"),
+            )
+            .repartition(num_buckets, "__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(out)
+        )
+        return sorted(
+            (
+                os.path.join(data_rel, d)
+                for d in os.listdir(out)
+                if d.startswith("__bucket=")
+            ),
+            key=self._bucket_of,
+        )
+
+    def write_bucketed(
+        self,
+        name: str,
+        df: DataFrame,
+        key: str = "url_hash",
+        num_buckets: int = 64,
+        meta: dict | None = None,
+    ) -> int:
+        """Full (copy-on-write) snapshot of a hash-bucketed table."""
+        dirs = self._write_bucket_dirs(name, df, key, num_buckets)
+        m = dict(meta or {})
+        m.update({"bucketed_key": key, "num_buckets": num_buckets})
+        return self._commit(name, dirs, m)
+
+    def merge_bucketed(
+        self,
+        name: str,
+        source: DataFrame,
+        on: str,
+        base_version: int | None = None,
+    ) -> int:
+        """Upsert ``source`` into a bucketed table, rewriting ONLY the
+        buckets the source keys hash into (source wins on ``on`` collision).
+
+        ``base_version``: chain from the epoch-pinned version (crash-safe
+        idempotent replay, same contract as append-mode :meth:`write`).
+        """
+        base = self.current_version(name) if base_version is None else base_version
+        man = self._manifest(name, base)
+        key = man["meta"]["bucketed_key"]
+        B = man["meta"]["num_buckets"]
+        src = source.withColumn(
+            "__bucket", F.pmod(F.col(key), F.lit(B)).cast("int")
+        )
+        touched = {r["__bucket"] for r in src.select("__bucket").distinct().collect()}
+        src = src.drop("__bucket")
+        old_dirs = man["data_dirs"]
+        touched_old = [d for d in old_dirs if self._bucket_of(d) in touched]
+        untouched = [d for d in old_dirs if self._bucket_of(d) not in touched]
+        if touched_old:
+            target = self.spark.read.parquet(
+                *[os.path.join(self._tdir(name), d) for d in touched_old]
+            )
+            merged = target.join(
+                source.select(on), on=on, how="left_anti"
+            ).unionByName(src.select(*target.columns))
+        else:
+            merged = src
+        new_dirs = self._write_bucket_dirs(name, merged, key, B)
+        m = dict(man["meta"])
+        return self._commit(name, sorted(
+            untouched + new_dirs, key=self._bucket_of
+        ), m)
 
     # ------------------------------------------------------------- merge
 
@@ -241,7 +359,11 @@ class Catalog:
         cur = self.current_version(name)
         keep: set[str] = set()
         for v in range(max(1, cur - keep_last + 1), cur + 1):
-            keep.update(self._manifest(name, v)["data_dirs"])
+            for d in self._manifest(name, v)["data_dirs"]:
+                # bucketed manifests reference bucket-level dirs
+                # (data/<commit>/__bucket=N); keep the whole commit dir
+                parts = d.split(os.sep)
+                keep.add(os.path.join(*parts[:2]))
         ddir = os.path.join(self._tdir(name), "data")
         removed = 0
         if os.path.isdir(ddir):

@@ -169,6 +169,38 @@ def test_kill_and_resume_converges_identically(spark, tmp_path):
     assert not resumed.cat.read("frontier").filter("state = 'CORRUPT'").count()
 
 
+def test_kill_after_append_before_commit_no_duplicates(spark, tmp_path):
+    """A crash BETWEEN an append-table write and commit_epoch leaves an
+    orphan snapshot already containing the tick's rows. Resume re-runs the
+    tick; its appends must chain from the epoch-pinned base (not LATEST),
+    else the rows land twice in crawl_order() forever."""
+    corpus = synthesize(CorpusSpec(n_feeds=6, items_per_feed=6, n_hosts=5))
+    oracle = simulate(corpus)
+
+    eng = _mk_engine(spark, corpus, str(tmp_path / "k2"), max_epochs=3)
+    eng.run()
+    # simulate the torn tick: epoch 3's log rows appended + table-committed,
+    # but the epoch manifest never written (same rows the re-run will write)
+    pinned = eng.cat.epoch_tables(eng.cat.last_epoch())
+    committed_log = eng.cat.read("frontier_log", pinned["frontier_log"])
+    replayed_rows = committed_log.limit(2).localCheckpoint(eager=True)
+    eng.cat.write("frontier_log", replayed_rows, mode="append")
+    assert eng.cat.current_version("frontier_log") > pinned["frontier_log"]
+
+    resumed = _mk_engine(spark, corpus, str(tmp_path / "k2"))
+    resumed.run()
+
+    got_order = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in resumed.crawl_order().collect()
+    ]
+    assert got_order == oracle.crawl_order  # exact => no duplicated rows
+    # the golden view must also be duplicate-free row-wise
+    n = resumed.crawl_order().count()
+    nd = resumed.crawl_order().dropDuplicates().count()
+    assert n == nd
+
+
 def test_hot_host_skew_with_salting_same_semantics(spark, tmp_path):
     """90%-skewed host + salted pre-rank: admission semantics unchanged."""
     corpus = synthesize(
@@ -204,3 +236,43 @@ def test_vacuum_during_run_preserves_results(spark, tmp_path):
     # vacuum plus ≤ vacuum_every(2) snapshots committed after it
     ddir = str(tmp_path / "vac" / "frontier" / "data")
     assert len(os.listdir(ddir)) <= 4
+
+
+def test_bucketed_corpus_fetch_same_semantics(spark, tmp_path):
+    """J5 storage-partitioned shape: bucketed corpus + per-epoch partition
+    pruning must not change crawl order or the seen set."""
+    corpus = synthesize(CorpusSpec(n_feeds=5, items_per_feed=6, n_hosts=4))
+    oracle = simulate(corpus)
+    eng = _mk_engine(
+        spark, corpus, str(tmp_path / "buck"), corpus_buckets=8
+    )
+    eng.run()
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in eng.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order
+    got_seen = {r["url_canon"]: r["pub_ts"] for r in eng.articles_final().collect()}
+    assert got_seen == oracle.seen
+
+
+def test_bucketed_seen_store_same_semantics(spark, tmp_path):
+    """seen_urls as a bucketed catalog table (touched-bucket merges) must
+    not change crawl order, seen set, or resume behavior."""
+    corpus = synthesize(CorpusSpec(n_feeds=5, items_per_feed=6, n_hosts=4))
+    oracle = simulate(corpus)
+    eng = _mk_engine(
+        spark, corpus, str(tmp_path / "sb"), seen_buckets=8, max_epochs=3
+    )
+    eng.run()
+    resumed = _mk_engine(spark, corpus, str(tmp_path / "sb"), seen_buckets=8)
+    resumed.run()
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in resumed.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order
+    got_seen = {
+        r["url_canon"]: r["pub_ts"] for r in resumed.articles_final().collect()
+    }
+    assert got_seen == oracle.seen

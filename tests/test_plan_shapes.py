@@ -94,3 +94,58 @@ def test_minhash_uses_partial_aggregation(spark, sf001):
     # explode → groupBy must partial-aggregate before the exchange
     assert plan.count("HashAggregate") >= 2
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_admit_global_cap_is_two_level_topk(spark):
+    """W4: the worker cap must plan as TakeOrderedAndProject (distributed
+    partial top-k), never a single-partition Window over all candidates."""
+    pending = spark.createDataFrame(
+        [("h1", 0, 0, 0)], ["host", "e_epoch", "e_rank", "e_sub"]
+    )
+    hosts = spark.createDataFrame(
+        [("h1", None, 1)],
+        "host string, last_access_epoch int, delay_epochs int",
+    )
+    plan = sparkplan(admit(pending, hosts, 0, 10))
+    assert "TakeOrderedAndProject" in plan
+    # the only empty-over() window runs above the limit — i.e. the plan
+    # string shows the global Window downstream of TakeOrderedAndProject
+    head = plan.split("TakeOrderedAndProject")[0]
+    assert head.count("windowspecdefinition()") <= head.count("Window")
+
+
+def test_fifo_topk_query_is_two_level(spark, sf001):
+    import __spark_entry__ as E
+
+    plan = sparkplan(E.queries()["frontier_fifo_topk"](spark, sf001))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_fetch_broadcasts_admitted_not_corpus(spark, tmp_path):
+    """J5: the corpus side must never shuffle — admitted (≤ workers rows)
+    broadcasts into the corpus scan; with a bucketed corpus the scan is
+    partition-pruned to the admitted keys' buckets."""
+    from newsfeeds_crawler_spark.operators.fetchparse import fetch
+    from newsfeeds_crawler_spark.sources.frontier import write_bucketed
+
+    corpus = spark.range(0, 1000).select(
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url_canon"),
+        F.lit(200).alias("status"),
+        F.lit("b").alias("body"),
+        F.lit(None).cast("binary").alias("bytes"),
+        F.lit(1).alias("w"), F.lit(1).alias("h"),
+        F.lit("ppm").alias("fmt"), F.lit("c").alias("caption"),
+        F.lit(0).cast("long").alias("phash"),
+    )
+    path = str(tmp_path / "corpus_b")
+    write_bucketed(
+        corpus.withColumn("__h", F.xxhash64("url_canon")), path, key="__h",
+        num_buckets=8,
+    )
+    bucketed = spark.read.parquet(path).drop("__h")
+    admitted = corpus.limit(3).select("url_canon")
+    out = fetch(admitted, bucketed, num_buckets=8, materialize=False)
+    plan = formatted(out)
+    assert "BroadcastHashJoin" in plan      # admitted is the build side
+    assert "PartitionFilters" in plan       # bucket pruning reached the scan
+    assert plan.count("bucket#") >= 1

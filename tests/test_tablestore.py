@@ -87,3 +87,63 @@ def test_vacuum_keeps_reachable(spark, cat):
     assert removed == 1
     assert [r["k"] for r in cat.read("t").collect()] == [3]
     assert [r["k"] for r in cat.read("t", version=2).collect()] == [2]
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """Catalog.merge_bucketed: upsert semantics + per-epoch I/O ∝ touched
+    buckets (untouched bucket dirs re-referenced, not rewritten)."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    base = spark.range(0, 1000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url_canon"),
+        F.col("id").alias("url_hash"),
+        F.lit(None).cast("long").alias("article_id"),
+        F.lit(None).cast("timestamp").alias("pub_ts"),
+    )
+    v1 = cat.write_bucketed("seen", base, key="url_hash", num_buckets=16)
+    d1 = set(cat._manifest("seen", v1)["data_dirs"])
+    assert len(d1) == 16
+
+    # upsert rows landing in exactly 2 buckets (hash 3 and 7)
+    ups = spark.createDataFrame(
+        [("u3", 3, 99, None), ("u7", 7, 98, None), ("uNEW", 16 + 7, 97, None)],
+        "url_canon string, url_hash long, article_id long, pub_ts timestamp",
+    )
+    v2 = cat.merge_bucketed("seen", ups, on="url_canon")
+    d2 = set(cat._manifest("seen", v2)["data_dirs"])
+    # only buckets 3 and 7 rewritten: 14 dirs carried over verbatim
+    assert len(d1 & d2) == 14
+    assert len(d2) == 16
+
+    got = cat.read("seen")
+    assert got.count() == 1001  # 1000 base + 1 new key
+    ids = {
+        r["url_canon"]: r["article_id"]
+        for r in got.filter(F.col("article_id").isNotNull()).collect()
+    }
+    assert ids == {"u3": 99, "u7": 98, "uNEW": 97}
+
+
+def test_bucketed_merge_replay_is_idempotent(spark, tmp_path):
+    """Re-running a merge from the same base version (crash replay) must
+    leave the same logical table."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path / "cat2"))
+    base = spark.range(0, 100).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url_canon"),
+        F.col("id").alias("url_hash"),
+        F.lit(None).cast("long").alias("article_id"),
+        F.lit(None).cast("timestamp").alias("pub_ts"),
+    )
+    v1 = cat.write_bucketed("seen", base, key="url_hash", num_buckets=4)
+    ups = spark.createDataFrame(
+        [("u5", 5, 42, None)],
+        "url_canon string, url_hash long, article_id long, pub_ts timestamp",
+    )
+    cat.merge_bucketed("seen", ups, on="url_canon", base_version=v1)  # orphan
+    v3 = cat.merge_bucketed("seen", ups, on="url_canon", base_version=v1)
+    got = cat.read("seen", v3)
+    assert got.count() == 100
+    assert got.filter("url_canon = 'u5'").first()["article_id"] == 42
