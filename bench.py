@@ -154,7 +154,10 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     mode = os.environ.get("NFC_BENCH_MODE", "all")
-    n_frontier = int(os.environ.get("NFC_BENCH_FRONTIER", "8000000"))
+    # 32M default: at 8M the ~8 s scheduling-epoch fixed cost (JVM/job
+    # launch) dominates and under-reports the steady-state rate by ~3×;
+    # 32M amortizes it while keeping the tput pass under ~30 s
+    n_frontier = int(os.environ.get("NFC_BENCH_FRONTIER", "32000000"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
 
     local_dir = os.environ.get("NFC_SPARK_LOCAL_DIR", "/dev/shm/spark-local")

@@ -58,56 +58,62 @@ def robots_sections(body: Column) -> Column:
     return F.filter(structs, lambda s: s.getField("value") != "")
 
 
-def disallow_prefixes(body: Column, agent: str = "*") -> Column:
-    """array<string> of Disallow path prefixes binding to ``agent``.
+_RULE_KEYS = ("disallow", "allow", "crawl-delay")
 
-    A Disallow line binds iff the nearest preceding User-agent group names
-    ``agent`` exactly or ``*``. Expressed as: for each disallow line, the
-    last user-agent line above it with a smaller line_no decides.
+
+def _bound_rules(secs: Column, agent: str) -> Column:
+    """Rule lines (Disallow / Allow / Crawl-delay) whose governing
+    User-agent group names ``agent`` exactly or ``*``.
+
+    A rule's group = the contiguous block of user-agent lines right above
+    it (standard grammar: any rule line closes the current group, the next
+    user-agent line opens a new one). Expressed as: an agent line ``a``
+    belongs to rule ``d``'s group iff no OTHER rule line separates ``a``
+    from the nearest agent line above ``d``. Orphan rules (no user-agent
+    above) are ignored, matching the python mirror.
     """
-    secs = robots_sections(body)
     agents = F.filter(secs, lambda s: s.getField("key") == "user-agent")
-    disallows = F.filter(secs, lambda s: s.getField("key") == "disallow")
+    is_rule = lambda s: s.getField("key").isin(*_RULE_KEYS)  # noqa: E731
+    rules = F.filter(secs, is_rule)
 
     def binds(d):
-        # the governing group = user-agent lines in the contiguous agent
-        # block right above this disallow (standard grammar: a group's
-        # agent lines all precede its rules); we approximate with "any
-        # agent line above d whose group extends to d" — i.e. the nearest
-        # agent line above, plus its adjacent agent lines.
         above = F.filter(
             agents, lambda a: a.getField("line_no") < d.getField("line_no")
         )
         nearest = F.element_at(above, -1)
-        # orphan rules (no user-agent line above) are ignored, per the
-        # de-facto grammar — same as the python mirror
         return F.when(F.size(above) == 0, F.lit(False)).otherwise(
             F.exists(
                 above,
                 lambda a: (
                     (a.getField("value") == agent) | (a.getField("value") == "*")
                 )
-                # a belongs to d's group iff no Disallow line separates a
-                # from the group's last agent line (else a closed an
-                # earlier group)
                 & ~F.exists(
-                    disallows,
-                    lambda d2: (d2.getField("line_no") > a.getField("line_no"))
-                    & (d2.getField("line_no") < nearest.getField("line_no")),
+                    rules,
+                    lambda r: (r.getField("line_no") > a.getField("line_no"))
+                    & (r.getField("line_no") < nearest.getField("line_no")),
                 ),
             )
         )
 
+    return F.filter(rules, binds)
+
+
+def disallow_prefixes(body: Column, agent: str = "*") -> Column:
+    """array<string> of Disallow path prefixes binding to ``agent``."""
+    bound = _bound_rules(robots_sections(body), agent)
     return F.transform(
-        F.filter(disallows, binds), lambda d: d.getField("value")
+        F.filter(bound, lambda s: s.getField("key") == "disallow"),
+        lambda d: d.getField("value"),
     )
 
 
 def crawl_delay_ms(body: Column, agent: str = "*", default_ms: int = 1000) -> Column:
-    """Crawl-delay (seconds in the file) → milliseconds; first binding line
-    wins; ``default_ms`` when absent/non-numeric."""
-    secs = robots_sections(body)
-    delays = F.filter(secs, lambda s: s.getField("key") == "crawl-delay")
+    """Crawl-delay (seconds in the file) → milliseconds. The first line
+    whose governing User-agent group binds to ``agent`` wins (a
+    googlebot-only Crawl-delay never applies to ``*``);
+    ``default_ms`` when absent/non-numeric."""
+    bound = _bound_rules(robots_sections(body), agent)
+    delays = F.filter(bound, lambda s: s.getField("key") == "crawl-delay")
     ms = (F.element_at(delays, 1).getField("value").cast("double") * 1000).cast(
         "int"
     )
@@ -119,11 +125,11 @@ def crawl_delay_ms(body: Column, agent: str = "*", default_ms: int = 1000) -> Co
 # ---------------------------------------------------------------- python mirror
 
 
-def disallow_prefixes_py(body: str, agent: str = "*") -> list[str]:
-    """Reference-grammar mirror (group-accurate) used by the oracle."""
+def _iter_rules_py(body: str):
+    """(key, value, group_agents) for each rule line, group-accurate:
+    any rule line (Disallow/Allow/Crawl-delay) closes the agent block."""
     group_agents: list[str] = []
     in_rules = False
-    out: list[str] = []
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -137,22 +143,27 @@ def disallow_prefixes_py(body: str, agent: str = "*") -> list[str]:
                 group_agents = []
                 in_rules = False
             group_agents.append(value)
-        elif key == "disallow":
+        elif key in ("disallow", "allow", "crawl-delay"):
             in_rules = True
-            if any(a == agent or a == "*" for a in group_agents):
-                out.append(value)
-    return out
+            yield key, value, list(group_agents)
+
+
+def disallow_prefixes_py(body: str, agent: str = "*") -> list[str]:
+    """Reference-grammar mirror (group-accurate) used by the oracle."""
+    return [
+        v
+        for k, v, grp in _iter_rules_py(body)
+        if k == "disallow" and any(a == agent or a == "*" for a in grp)
+    ]
 
 
 def crawl_delay_ms_py(body: str, agent: str = "*", default_ms: int = 1000) -> int:
-    for raw in body.splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if ":" not in line:
-            continue
-        key, value = line.split(":", 1)
-        if key.strip().lower() == "crawl-delay" and value.strip():
+    """First Crawl-delay whose group binds to ``agent``; group-accurate
+    mirror of :func:`crawl_delay_ms`."""
+    for k, v, grp in _iter_rules_py(body):
+        if k == "crawl-delay" and any(a == agent or a == "*" for a in grp):
             try:
-                return int(float(value.strip()) * 1000)
+                return int(float(v) * 1000)
             except ValueError:
                 return default_ms
     return default_ms

@@ -41,10 +41,14 @@ def canonicalize_url(url: Column | str) -> Column:
     u = F.col(url) if isinstance(url, str) else url
     u = F.substring_index(u, "#", 1)  # 1. fragment (strip from first '#')
     pos = F.locate("://", u)
-    scheme = F.when(pos > 0, F.lower(F.substring(u, F.lit(1), pos - 1))).otherwise(
-        F.lit("")
-    )
-    rest = F.when(pos > 0, F.substring(u, pos + 3, F.lit(1 << 30))).otherwise(u)
+    raw_scheme = F.substring(u, F.lit(1), pos - 1)
+    # the text before '://' must be a well-formed scheme — otherwise a
+    # scheme-less URL with an embedded absolute URL (e.g.
+    # 'example.com/p?u=http://b.com') would parse 'example.com/p?u=http'
+    # as its scheme; mirrors _PY_SCHEME_RE exactly
+    valid = (pos > 0) & raw_scheme.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*$")
+    scheme = F.when(valid, F.lower(raw_scheme)).otherwise(F.lit(""))
+    rest = F.when(valid, F.substring(u, pos + 3, F.lit(1 << 30))).otherwise(u)
     # host[:port] = up to the first '/' or '?' (mirror of ^([^/?]*))
     hostport = F.lower(F.substring_index(F.substring_index(rest, "/", 1), "?", 1))
     tail = F.substring(rest, F.length(hostport) + F.lit(1), F.lit(1 << 30))
@@ -70,17 +74,20 @@ def url_host(url: Column | str, *, canonical: bool = False) -> Column:
     """Lowercased host without port — the politeness partition key.
 
     Reference analog: ``URL.getHost`` (HttpManager.scala:52,80,88).
-    Regex-free: the first '://' splits off the scheme (never a later one —
-    query strings may embed URLs), then host = before the first '/', '?',
-    and ':' of the remainder.
+    The scheme is split off only when the text before '://' is a
+    well-formed scheme (query strings may embed absolute URLs), and only a
+    trailing ':digits' port is stripped — an IPv6 literal like
+    '[::1]:8080' keeps its colons. Byte-equal to :func:`url_host_py`.
     """
     u = F.col(url) if isinstance(url, str) else url
     if not canonical:
         u = canonicalize_url(u)
     pos = F.locate("://", u)
-    rest = F.when(pos > 0, F.substring(u, pos + 3, F.lit(1 << 30))).otherwise(u)
+    raw_scheme = F.substring(u, F.lit(1), pos - 1)
+    valid = (pos > 0) & raw_scheme.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*$")
+    rest = F.when(valid, F.substring(u, pos + 3, F.lit(1 << 30))).otherwise(u)
     hostport = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
-    return F.substring_index(hostport, ":", 1)
+    return F.regexp_replace(hostport, r":[0-9]+$", "")
 
 
 def url_hash(url: Column | str, *, canonical: bool = False) -> Column:

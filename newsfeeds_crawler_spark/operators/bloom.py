@@ -105,10 +105,15 @@ class PartitionedBloom:
         num_buckets: int = 16,
         expected_per_bucket: int = 100_000,
         fpp: float = 0.01,
+        m: int | None = None,
+        k: int | None = None,
     ) -> "PartitionedBloom":
         """Distributed build: each bucket's blob is produced by its own
-        applyInPandas group; the driver only collects B blobs of m/8 bytes."""
-        m, k = _params(expected_per_bucket, fpp)
+        applyInPandas group; the driver only collects B blobs of m/8 bytes.
+        Explicit (m, k) build a delta filter mergeable into a persisted
+        state filter with those exact parameters."""
+        if m is None or k is None:
+            m, k = _params(expected_per_bucket, fpp)
 
         def build_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             bits = np.zeros(m // 8, dtype=np.uint8)

@@ -295,6 +295,25 @@ class PartitionedCuckoo:
 
     # ------------------------------------------------------------- probe
 
+    # ------------------------------------------------------ state table io
+
+    def to_df(self, spark) -> DataFrame:
+        """Blob rows for the catalog's filter state table (one row per
+        partition; the stash rides inside the blob trailer)."""
+        rows = [
+            (p, bytearray(t.to_bytes()), t.table.shape[0], t.n_items)
+            for p, t in self.tables.items()
+        ]
+        return spark.createDataFrame(rows, _BLOB_SCHEMA)
+
+    @staticmethod
+    def from_df(df: DataFrame, num_partitions: int) -> "PartitionedCuckoo":
+        tables = {
+            r["bucket"]: CuckooTable.from_bytes(bytes(r["table"]), r["n_items"])
+            for r in df.collect()
+        }
+        return PartitionedCuckoo(tables, num_partitions)
+
     def contains_col(self, df: DataFrame, key: str) -> DataFrame:
         blobs = {
             p: (t.to_bytes(), t.table.shape[0], t.n_items)

@@ -97,11 +97,16 @@ def fetch(
             .collect()
         ]
         corpus = corpus.where(F.col("bucket").isin(touched))
+    # compressed-corpus variant (ref DefaultHttpFacade.scala:44-57,116):
+    # bodies stored as gzip/deflate bytes + charset are inflated by an
+    # Arrow-vectorized decode stage right after the join
+    gz = "body_gz" in corpus.columns
+    gz_cols = ["body_gz", "content_encoding", "charset"] if gz else []
     payload = corpus.select(
         F.col("url_canon").alias("__cu"),
         F.col("status"),
         F.col("body").alias("__raw_body"),
-        "bytes", "w", "h", "fmt", "caption", "phash",
+        "bytes", "w", "h", "fmt", "caption", "phash", *gz_cols,
     )
     adm = F.broadcast(admitted)
     hits = payload.join(adm, F.col("__cu") == adm["url_canon"], "inner").drop("__cu")
@@ -114,15 +119,27 @@ def fetch(
         ("status", "int"), ("__raw_body", "string"), ("bytes", "binary"),
         ("w", "int"), ("h", "int"), ("fmt", "string"),
         ("caption", "string"), ("phash", "long"),
+        *((("body_gz", "binary"), ("content_encoding", "string"),
+           ("charset", "string")) if gz else ()),
     ):
         misses = misses.withColumn(c, F.lit(None).cast(t))
     fetched = hits.unionByName(misses.select(*hits.columns))
+    raw = F.col("__raw_body")
+    if gz:
+        from newsfeeds_crawler_spark.operators.httpbody import decode_body
+
+        raw = F.coalesce(
+            raw,
+            decode_body(
+                F.col("body_gz"), F.col("content_encoding"), F.col("charset")
+            ),
+        )
     return fetched.withColumn(
         "body",
-        F.when(F.col("status") == 200, F.col("__raw_body")).otherwise(
+        F.when(F.col("status") == 200, raw).otherwise(
             F.lit(None).cast("string")
         ),
-    ).drop("__raw_body")
+    ).drop("__raw_body", *gz_cols)
 
 
 def explode_items(parsed_feeds: DataFrame) -> DataFrame:

@@ -62,9 +62,12 @@ def brute_topk(
     """Exact cosine top-k: (q_id, n_id, sim, rank), self-matches excluded.
 
     ``queries`` must be broadcast-small; the corpus side never shuffles until
-    the per-query rank window (partitioned by q_id — as many partitions as
-    queries, each holding `|corpus|` candidate rows; for huge corpora chain
-    a per-partition pre-top-k before the window to cap the shuffle).
+    the per-query rank window. Scale shape: Spark plans the
+    ``row_number() <= k`` filter as a PARTIAL (pre-shuffle) + FINAL
+    WindowGroupLimit pair, so each input partition ships only its local
+    top-k per query and the post-shuffle per-query partition holds ≤ k×P
+    rows, never ``|corpus|`` (pinned by
+    tests/test_plan_shapes.py::test_brute_topk_has_partial_window_group_limit).
     """
     q = F.broadcast(
         queries.select(

@@ -30,6 +30,7 @@ Documented deviations from the reference (both sides implement these):
 
 from __future__ import annotations
 
+import calendar
 import math
 from dataclasses import dataclass, field
 from datetime import datetime
@@ -52,6 +53,7 @@ class Task:
     parsed_pub_ts: Optional[datetime] = None  # item ts from RSS (article tasks)
     stored_id: Optional[int] = None     # seen-store id at probe time
     state: str = "pending"          # pending|fetched|robots_denied|skipped
+    priority: float = 0.0           # north_star priority frontier score
 
 
 @dataclass
@@ -78,7 +80,24 @@ def _disallowed(corpus: SynthCorpus, host: str, url_canon: str) -> bool:
     return any(path.startswith(p) for p in info["disallow"])
 
 
-def simulate(corpus: SynthCorpus, max_epochs: int = 100_000) -> OracleResult:
+def _priority_py(depth: int, pub_ts: Optional[datetime],
+                 depth_weight: float, recency_weight: float) -> float:
+    """Mirror of operators.politeness.priority_score: lower = sooner.
+    unix seconds are integral (matching Spark's unix_timestamp truncation),
+    interpreted as UTC (matching the engine's UTC session timezone)."""
+    ts = 0.0 if pub_ts is None else float(calendar.timegm(pub_ts.timetuple()))
+    return depth * depth_weight - ts * recency_weight
+
+
+def simulate(
+    corpus: SynthCorpus,
+    max_epochs: int = 100_000,
+    depth_weight: float = 0.0,
+    recency_weight: float = 0.0,
+) -> OracleResult:
+    """Both weights 0.0 -> constant priority -> the reference's pure
+    mailbox FIFO. Non-zero weights replay the engine's priority frontier:
+    admission order = (priority, FIFO key) ascending."""
     spec = corpus.spec
     delay_epochs = {
         h: max(1, math.ceil(info["crawl_delay_ms"] / spec.tick_ms))
@@ -89,7 +108,10 @@ def simulate(corpus: SynthCorpus, max_epochs: int = 100_000) -> OracleResult:
     tasks: list[Task] = []
     for i, seed in enumerate(corpus.seeds):
         c = canonicalize_url_py(seed)
-        tasks.append(Task(seed, c, url_host_py(seed), "feed", (0, i, 0), feed_canon=c))
+        tasks.append(Task(
+            seed, c, url_host_py(seed), "feed", (0, i, 0), feed_canon=c,
+            priority=_priority_py(0, None, depth_weight, recency_weight),
+        ))
         res.feeds[c] = {"state": "pending", "last_pub_ts": None}
 
     # seen store = the article table keyed by canonical URL (preseen = fixtures)
@@ -114,7 +136,10 @@ def simulate(corpus: SynthCorpus, max_epochs: int = 100_000) -> OracleResult:
     last_access: dict[str, int] = {}
     epoch = 0
     while epoch < max_epochs:
-        pending = sorted((t for t in tasks if t.state == "pending"), key=lambda t: t.key)
+        pending = sorted(
+            (t for t in tasks if t.state == "pending"),
+            key=lambda t: (t.priority, *t.key),
+        )
         if not pending:
             break
 
@@ -188,6 +213,9 @@ def simulate(corpus: SynthCorpus, max_epochs: int = 100_000) -> OracleResult:
                             (epoch + 1, rank, sub), feed_canon=fc,
                             parsed_pub_ts=item_ts,
                             stored_id=None if stored is None else stored["article_id"],
+                            priority=_priority_py(
+                                1, item_ts, depth_weight, recency_weight
+                            ),
                         ))
                         enqueued += 1
                         sub += 1

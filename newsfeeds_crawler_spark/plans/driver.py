@@ -79,6 +79,11 @@ class CrawlConfig:
     # merge rewrites ONLY the buckets touched by that epoch's upserts
     # (Catalog.merge_bucketed) instead of copying the whole store
     seen_buckets: int = 0
+    # liveness guard (ref FeedManager.scala:31-33,67-69 ReceiveTimeout =
+    # maxWaitingTimeBeforeStop 60s): after this many CONSECUTIVE epochs
+    # with zero admissions, quarantine the stuck pending rows into
+    # ``errors``, kill their feeds, and converge. 0 = disabled.
+    stall_timeout_epochs: int = 60
 
 
 class CrawlEngine:
@@ -215,6 +220,86 @@ class CrawlEngine:
         cat.commit_epoch(0, versions, meta={"event": "init"})
         return versions
 
+    # ---------------------------------------------------- seen prefilter
+
+    def _load_filter(self, which: str, v: dict[str, int], store_latest):
+        """Load the persisted seen prefilter at the epoch-pinned version —
+        per-epoch cost is B small blob reads, NEVER an O(|seen|) rebuild.
+        First use (or a workdir from before the filter table existed) falls
+        back to one build from the store."""
+        if which not in ("bloom", "cuckoo"):
+            return None
+        if "seen_filter" in v and self.cat.exists("seen_filter"):
+            blobs = self.cat.read("seen_filter", v["seen_filter"])
+            meta = self.cat.meta("seen_filter", v["seen_filter"])
+            if meta.get("kind") == which:
+                if which == "bloom":
+                    from newsfeeds_crawler_spark.operators.bloom import (
+                        PartitionedBloom,
+                    )
+
+                    return PartitionedBloom.from_df(
+                        blobs, meta["m"], meta["k"], meta["num_buckets"]
+                    )
+                from newsfeeds_crawler_spark.operators.cuckoo import (
+                    PartitionedCuckoo,
+                )
+
+                return PartitionedCuckoo.from_df(blobs, meta["num_buckets"])
+        cfg = self.cfg
+        if which == "bloom":
+            from newsfeeds_crawler_spark.operators.bloom import PartitionedBloom
+
+            return PartitionedBloom.build(
+                store_latest.select("url_hash"),
+                num_buckets=cfg.num_host_buckets,
+                expected_per_bucket=cfg.bloom_expected_per_bucket,
+                fpp=cfg.bloom_fpp,
+            )
+        from newsfeeds_crawler_spark.operators.cuckoo import PartitionedCuckoo
+
+        return PartitionedCuckoo.build(
+            store_latest.select("url_hash"),
+            key="url_hash",
+            num_partitions=cfg.num_host_buckets,
+            expected_per_partition=cfg.bloom_expected_per_bucket,
+        )
+
+    def _persist_filter(self, which: str, bloom, seen_upserts) -> int:
+        """Fold this epoch's upserts into the filter and snapshot the blobs.
+        Bloom: distributed delta build over |upserts| keys + bitwise-OR
+        merge. Cuckoo: add_keys of the collected upsert hashes (≤ workers
+        rows/epoch; deletable on recrawl expiry via delete_keys)."""
+        if which == "bloom":
+            from newsfeeds_crawler_spark.operators.bloom import PartitionedBloom
+
+            delta = PartitionedBloom.build(
+                seen_upserts.select("url_hash"),
+                num_buckets=bloom.num_buckets,
+                m=bloom.m,
+                k=bloom.k,
+            )
+            bloom = bloom.merge(delta)
+            meta = {
+                "kind": "bloom",
+                "m": bloom.m,
+                "k": bloom.k,
+                "num_buckets": bloom.num_buckets,
+            }
+        else:
+            import numpy as np
+
+            keys = np.array(
+                [r["url_hash"] for r in seen_upserts.select("url_hash").collect()],
+                dtype=np.int64,
+            )
+            if keys.size:
+                bloom.add_keys(keys)
+            meta = {"kind": "cuckoo", "num_buckets": bloom.num_partitions}
+        return self.cat.write(
+            "seen_filter", bloom.to_df(self.spark), meta=meta
+        )
+
     # ------------------------------------------------------------- tick
 
     def _run_tick(self, tick: int, v: dict[str, int]):
@@ -223,14 +308,40 @@ class CrawlEngine:
         pending = frontier.filter(F.col("state") == "pending")
         hosts = cat.read("hosts", v["hosts"])
 
-        allowed, denied = robots_split(pending, hosts)
-        admitted = admit(
-            allowed, hosts, tick, cfg.workers, cfg.salt_partitions
-        ).localCheckpoint(eager=True)
-        denied = denied.localCheckpoint(eager=True)
-        n_admitted = admitted.count()
-        n_denied = denied.count()
+        # ONE materialization job for the admission outcome (tag-union of
+        # admitted ∪ denied) + ONE count job — the per-epoch fixed cost is
+        # dominated by job count, not data volume, at small admitted sizes
+        allowed, denied0 = robots_split(pending, hosts)
+        adm0 = admit(allowed, hosts, tick, cfg.workers, cfg.salt_partitions)
+        gate = (
+            adm0.withColumn("__gate", F.lit("a"))
+            .unionByName(
+                denied0.withColumn("admit_rank", F.lit(None).cast("int"))
+                .select(*adm0.columns)
+                .withColumn("__gate", F.lit("d"))
+            )
+            .localCheckpoint(eager=True)
+        )
+        admitted = gate.filter(F.col("__gate") == "a").drop("__gate")
+        denied = gate.filter(F.col("__gate") == "d").drop("__gate")
+        from concurrent.futures import ThreadPoolExecutor
 
+        count_pool = ThreadPoolExecutor(max_workers=1)
+        count_fut = count_pool.submit(
+            lambda: {
+                r["__gate"]: r["n"]
+                for r in gate.groupBy("__gate")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        )
+
+        def gate_counts():
+            counts = count_fut.result()
+            count_pool.shutdown()
+            return counts.get("a", 0), counts.get("d", 0)
+
+        n_admitted, n_denied = gate_counts()
         if n_admitted == 0 and n_denied == 0:
             if pending.isEmpty():
                 return None  # A3: global convergence (ProjectManager.scala:37-51)
@@ -250,14 +361,22 @@ class CrawlEngine:
         store_latest = cat.read("seen_urls", v["seen_urls"])
 
         # ---- fetch (S5) + split ------------------------------------------
-        fetched = fetch(
-            admitted, self.corpus, num_buckets=cfg.corpus_buckets
-        ).localCheckpoint(eager=True)
-        feeds_f = (
-            fetched.filter(F.col("kind") == "feed")
-            .withColumn("parsed", parse_feed_udf(F.col("body")))
+        # one checkpoint materializes fetch + parse UDF + caption extract +
+        # status routing for BOTH branches; the per-kind frames below are
+        # pure filters over materialized rows (no recompute, no extra jobs)
+        fetched = (
+            fetch(admitted, self.corpus, num_buckets=cfg.corpus_buckets)
+            .withColumn(
+                "parsed",
+                parse_feed_udf(F.when(F.col("kind") == "feed", F.col("body"))),
+            )
+            .withColumn(
+                "caption_x",
+                extract_caption(F.when(F.col("kind") == "article", F.col("body"))),
+            )
             .localCheckpoint(eager=True)
         )
+        feeds_f = fetched.filter(F.col("kind") == "feed")
         arts_f = fetched.filter(F.col("kind") == "article")
 
         # ---- feed branch: outcomes + item pipeline -----------------------
@@ -289,39 +408,37 @@ class CrawlEngine:
             .filter(F.col("__rn") == 1)  # deviation: reference crashes on dups
             .drop("__rn")
         )
-        bloom = None
         which = "bloom" if cfg.use_bloom else cfg.seen_filter
-        if which == "bloom":
-            # at 10^10 the blobs live in a filter state table maintained by
-            # bitwise-OR epoch deltas (PartitionedBloom.merge); rebuilding per
-            # epoch is fine at test scale and keeps this round simple
-            from newsfeeds_crawler_spark.operators.bloom import PartitionedBloom
-
-            bloom = PartitionedBloom.build(
-                store_latest.select("url_hash"),
-                num_buckets=cfg.num_host_buckets,
-                expected_per_bucket=cfg.bloom_expected_per_bucket,
-                fpp=cfg.bloom_fpp,
-            )
-        elif which == "cuckoo":
-            # deletable variant: at scale the blobs persist in the catalog
-            # and recrawl-expired keys are delete_keys()-ed per epoch
-            from newsfeeds_crawler_spark.operators.cuckoo import PartitionedCuckoo
-
-            bloom = PartitionedCuckoo.build(
-                store_latest.select("url_hash"),
-                key="url_hash",
-                num_partitions=cfg.num_host_buckets,
-                expected_per_partition=cfg.bloom_expected_per_bucket,
-            )
-        probed = probe(items, store_latest, hash_key="item_hash", bloom=bloom).withColumn(
+        bloom = self._load_filter(which, v, store_latest)
+        probed_plan = probe(
+            items, store_latest, hash_key="item_hash", bloom=bloom
+        ).withColumn(
             "fetch_flag",
             should_fetch(
                 F.col("item_ts"),
                 F.when(F.col("__seen"), F.lit(1)),
                 F.col("stored_pub_ts"),
             ),
-        ).localCheckpoint(eager=True)
+        )
+        # the feed branch's probe and the article branch's decode are
+        # independent given the materialized ``fetched`` — overlap their
+        # materialization jobs (the two slowest non-write jobs of a tick)
+        arts = arts_f.drop("parsed").withColumn(
+            "a_state",
+            F.when(F.col("body").isNull(), F.lit("skipped"))        # P3 null page
+            .when(F.col("caption_x").isNull(), F.lit("skipped"))    # P3 null extract
+            .otherwise(F.lit("done")),
+        )
+        decoded_plan = decode_images(arts.filter(F.col("a_state") == "done"))
+        with ThreadPoolExecutor(max_workers=2) as ck_pool:
+            f_probed = ck_pool.submit(
+                lambda: probed_plan.localCheckpoint(eager=True)
+            )
+            f_decoded = ck_pool.submit(
+                lambda: decoded_plan.localCheckpoint(eager=True)
+            )
+            probed = f_probed.result()
+            decoded = f_decoded.result()
 
         w_sub = Window.partitionBy("feed_canon").orderBy("item_idx")
         new_tasks = (
@@ -347,15 +464,7 @@ class CrawlEngine:
             )
         )
 
-        # ---- article branch: extract (U2) + decode (U4) + upsert (S6) ----
-        arts = arts_f.withColumn("caption_x", extract_caption(F.col("body")))
-        arts = arts.withColumn(
-            "a_state",
-            F.when(F.col("body").isNull(), F.lit("skipped"))        # P3 null page
-            .when(F.col("caption_x").isNull(), F.lit("skipped"))    # P3 null extract
-            .otherwise(F.lit("done")),
-        ).localCheckpoint(eager=True)
-        decoded = decode_images(arts.filter(F.col("a_state") == "done"))
+        # ---- article branch: upsert rows (decode already materialized) ---
         prior = store_latest.select(
             F.col("url_canon").alias("__pk"),
             F.col("article_id").alias("prior_id"),
@@ -380,7 +489,6 @@ class CrawlEngine:
                 "pixels",
                 "dec_phash",
             )
-            .localCheckpoint(eager=True)
         )
 
         # ---- frontier state transitions ----------------------------------
@@ -500,34 +608,42 @@ class CrawlEngine:
         )
 
         # ---- per-bucket metrics (north_star observability) ----------------
+        # single union-with-tag + one hash aggregate: ONE shuffle instead of
+        # five groupBys full-outer-joined (4 extra shuffles) — partial
+        # map-side aggregation still applies per tag
         B = cfg.num_host_buckets
-        def cnt(df, name, col="host"):
-            return df.groupBy(host_bucket(F.col(col), B).alias("host_bucket")).agg(
-                F.count(F.lit(1)).alias(name)
+
+        def tag(df, t, col="host"):
+            return df.select(
+                host_bucket(F.col(col), B).alias("host_bucket"),
+                F.lit(t).alias("__m"),
             )
-        m_fetch = cnt(admitted, "urls_fetched")
-        m_pend = cnt(pending, "n_pending")
-        m_hits = cnt(probed.filter(F.col("__seen")), "dedup_hits", col="item_host")
-        m_enq = cnt(new_tasks, "enqueued")
-        m_rob = cnt(denied, "robots_denied")
-        metrics_new = (
-            m_pend.join(m_fetch, "host_bucket", "full")
-            .join(m_hits, "host_bucket", "full")
-            .join(m_enq, "host_bucket", "full")
-            .join(m_rob, "host_bucket", "full")
-            .select(
-                F.lit(tick).cast("int").alias("epoch"),
-                "host_bucket",
-                F.coalesce("urls_fetched", F.lit(0)).cast("long").alias("urls_fetched"),
-                (
-                    F.coalesce("n_pending", F.lit(0))
-                    - F.coalesce("urls_fetched", F.lit(0))
-                    - F.coalesce("robots_denied", F.lit(0))
-                ).cast("long").alias("politeness_stalls"),
-                F.coalesce("dedup_hits", F.lit(0)).cast("long").alias("dedup_hits"),
-                F.coalesce("enqueued", F.lit(0)).cast("long").alias("enqueued"),
-                F.coalesce("robots_denied", F.lit(0)).cast("long").alias("robots_denied"),
-            )
+
+        tagged = (
+            tag(pending, "p")
+            .unionByName(tag(admitted, "f"))
+            .unionByName(tag(probed.filter(F.col("__seen")), "d", col="item_host"))
+            .unionByName(tag(new_tasks, "e"))
+            .unionByName(tag(denied, "r"))
+        )
+
+        def m(t):
+            return F.sum(F.when(F.col("__m") == t, 1).otherwise(0))
+
+        metrics_new = tagged.groupBy("host_bucket").agg(
+            m("f").cast("long").alias("urls_fetched"),
+            (m("p") - m("f") - m("r")).cast("long").alias("politeness_stalls"),
+            m("d").cast("long").alias("dedup_hits"),
+            m("e").cast("long").alias("enqueued"),
+            m("r").cast("long").alias("robots_denied"),
+        ).select(
+            F.lit(tick).cast("int").alias("epoch"),
+            "host_bucket",
+            "urls_fetched",
+            "politeness_stalls",
+            "dedup_hits",
+            "enqueued",
+            "robots_denied",
         )
 
         # ---- decode-error quarantine (S8) ---------------------------------
@@ -539,11 +655,14 @@ class CrawlEngine:
         )
 
         # ---- snapshot commits ---------------------------------------------
-        nv = dict(v)
-        nv["frontier"] = cat.write("frontier", frontier_new)
-        nv["frontier_log"] = cat.write(
-            "frontier_log", log_rows, mode="append", base_version=v["frontier_log"]
-        )
+        # every target is a DIFFERENT table (no manifest races) and every
+        # input is either a materialized checkpoint or a deterministic plan,
+        # so the eight snapshot writes are submitted CONCURRENTLY — Spark's
+        # scheduler overlaps the jobs and the epoch pays ~max(write) instead
+        # of Σ(write). The epoch manifest (commit_epoch, by the caller) is
+        # still the single atomic commit point.
+        from concurrent.futures import ThreadPoolExecutor
+
         # incremental seen-store merge: this epoch's upserts replace their
         # old rows (anti-join) — per-epoch work ∝ |seen| copy, never a
         # window over the whole articles history; with a bucketed catalog
@@ -551,30 +670,51 @@ class CrawlEngine:
         seen_upserts = article_rows.select(
             "url_canon", "url_hash", "article_id", "pub_ts"
         )
-        if cfg.seen_buckets > 0:
-            # rewrite only touched buckets: per-epoch seen I/O ∝ upserts
-            nv["seen_urls"] = cat.merge_bucketed(
-                "seen_urls",
-                seen_upserts,
-                on="url_canon",
-                base_version=v["seen_urls"],
-            )
-        else:
+
+        def w_seen():
+            if cfg.seen_buckets > 0:
+                # rewrite only touched buckets: per-epoch I/O ∝ upserts
+                return cat.merge_bucketed(
+                    "seen_urls",
+                    seen_upserts,
+                    on="url_canon",
+                    base_version=v["seen_urls"],
+                )
             seen_new = store_latest.join(
                 seen_upserts.select("url_canon"), "url_canon", "left_anti"
             ).unionByName(seen_upserts)
-            nv["seen_urls"] = cat.write("seen_urls", seen_new)
-        nv["hosts"] = cat.write("hosts", hosts_new)
-        nv["feeds"] = cat.write("feeds", feeds_new)
-        nv["articles"] = cat.write(
-            "articles", article_rows, mode="append", base_version=v["articles"]
-        )
-        nv["metrics"] = cat.write(
-            "metrics", metrics_new, mode="append", base_version=v["metrics"]
-        )
-        nv["errors"] = cat.write(
-            "errors", errors_new, mode="append", base_version=v["errors"]
-        )
+            return cat.write("seen_urls", seen_new)
+
+        jobs = {
+            "frontier": lambda: cat.write("frontier", frontier_new),
+            "frontier_log": lambda: cat.write(
+                "frontier_log", log_rows, mode="append",
+                base_version=v["frontier_log"],
+            ),
+            "seen_urls": w_seen,
+            "hosts": lambda: cat.write("hosts", hosts_new),
+            "feeds": lambda: cat.write("feeds", feeds_new),
+            "articles": lambda: cat.write(
+                "articles", article_rows, mode="append",
+                base_version=v["articles"],
+            ),
+            "metrics": lambda: cat.write(
+                "metrics", metrics_new, mode="append",
+                base_version=v["metrics"],
+            ),
+            "errors": lambda: cat.write(
+                "errors", errors_new, mode="append", base_version=v["errors"]
+            ),
+        }
+        if bloom is not None:
+            jobs["seen_filter"] = lambda: self._persist_filter(
+                which, bloom, seen_upserts
+            )
+        nv = dict(v)
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            futs = {name: pool.submit(fn) for name, fn in jobs.items()}
+            for name, fut in futs.items():
+                nv[name] = fut.result()
 
         summary = {
             "epoch": tick,
@@ -582,6 +722,69 @@ class CrawlEngine:
             "robots_denied": n_denied,
         }
         return nv, summary
+
+    # --------------------------------------------------- liveness guard
+
+    def _quarantine_stalled(self, tick: int, v: dict[str, int]) -> dict[str, int]:
+        """Move every still-pending row into the ``errors`` quarantine and
+        the frontier log (state='stalled'), and kill feeds with stalled
+        items — the bulk analog of the reference's per-feed ReceiveTimeout
+        (FeedManager.scala:31-33,67-69)."""
+        cat = self.cat
+        frontier = cat.read("frontier", v["frontier"])
+        stuck = frontier.filter(F.col("state") == "pending").localCheckpoint(
+            eager=True
+        )
+        base = [f.name for f in S.FRONTIER_SCHEMA.fields]
+        carried = [c for c in base if c not in ("state",)]
+        log_rows = stuck.select(
+            *carried, F.lit("stalled").alias("state")
+        ).select(*base)
+        errors_new = stuck.select(
+            F.lit(tick).cast("int").alias("epoch"),
+            F.lit("stall_timeout").alias("stage"),
+            "url_canon",
+            F.concat(
+                F.lit("no admissible host for "),
+                F.lit(self.cfg.stall_timeout_epochs).cast("string"),
+                F.lit(" epochs"),
+            ).alias("error"),
+        )
+        stuck_feeds = stuck.select(
+            F.coalesce("feed_canon", "url_canon").alias("fc")
+        ).distinct()
+        feeds_t = cat.read("feeds", v["feeds"])
+        feeds_new = feeds_t.join(
+            stuck_feeds, feeds_t["feed_canon"] == F.col("fc"), "left"
+        ).select(
+            "feed_canon",
+            "url",
+            "host",
+            "seed_idx",
+            F.when(
+                F.col("fc").isNotNull()
+                & ~F.col("state").isin("done", "done_empty"),
+                F.lit("dead"),
+            )
+            .otherwise(F.col("state"))
+            .alias("state"),
+            "parsed_pub_ts",
+            "last_pub_ts",
+            "done_epoch",
+        )
+        nv = dict(v)
+        nv["frontier"] = cat.write(
+            "frontier", frontier.filter(F.col("state") != "pending")
+        )
+        nv["frontier_log"] = cat.write(
+            "frontier_log", log_rows, mode="append",
+            base_version=v["frontier_log"],
+        )
+        nv["errors"] = cat.write(
+            "errors", errors_new, mode="append", base_version=v["errors"]
+        )
+        nv["feeds"] = cat.write("feeds", feeds_new)
+        return nv
 
     # -------------------------------------------------------------- run
 
@@ -594,6 +797,7 @@ class CrawlEngine:
         else:
             versions = cat.epoch_tables(last)
         tick = last
+        stalled_for = 0
         while tick < cfg.max_epochs:
             result = self._run_tick(tick, versions)
             if result is None:
@@ -602,6 +806,18 @@ class CrawlEngine:
             cat.commit_epoch(tick + 1, versions, meta=meta)
             if progress:
                 print(f"[crawl] {meta}")
+            # liveness guard: the reference kills a feed actor stuck for
+            # maxWaitingTimeBeforeStop ms; here a run whose every pending
+            # host stays blocked for stall_timeout_epochs consecutive ticks
+            # quarantines the stuck rows and terminates instead of spinning
+            stalled_for = stalled_for + 1 if meta.get("admitted", 0) == 0 else 0
+            if cfg.stall_timeout_epochs and stalled_for >= cfg.stall_timeout_epochs:
+                versions = self._quarantine_stalled(tick + 1, versions)
+                cat.commit_epoch(
+                    tick + 2, versions, meta={"event": "stall_timeout"}
+                )
+                tick += 2
+                break
             if cfg.vacuum_every and (tick + 1) % cfg.vacuum_every == 0:
                 from newsfeeds_crawler_spark.plans import state as _S
 

@@ -131,4 +131,5 @@ STATE_TABLES = [
     "articles",
     "metrics",
     "errors",
+    "seen_filter",  # persisted bloom/cuckoo blobs (present when enabled)
 ]

@@ -39,19 +39,51 @@ FRONTIER_STREAM_SCHEMA = StructType(
 )
 
 
-def _admit_batch(batch: DataFrame, seen_dir: str, out_dir: str,
-                 workers: int, batch_id: int) -> None:
+def _batch_dirs(root: str, below: int) -> list[str]:
+    """Per-batch state dirs b<id> with id < ``below`` (replay-safe: a
+    replayed batch never reads its own orphan output)."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        if d.startswith("b") and d[1:].isdigit() and int(d[1:]) < below:
+            if os.path.exists(os.path.join(root, d, "_SUCCESS")):
+                out.append(os.path.join(root, d))
+    return out
+
+
+def _admit_batch(batch: DataFrame, workdir: str, workers: int,
+                 batch_id: int) -> None:
+    """One micro-batch = one engine epoch, with two properties the
+    foreachBatch shape needs explicitly:
+
+    - **pending carry-over**: rows losing the per-host top-1 or the worker
+      cap are persisted as pending state and re-enter the next batch (the
+      engine keeps such rows in the frontier table) — never dropped;
+    - **idempotent replay**: every sink writes to a per-batch_id directory
+      with mode=overwrite, and every read excludes dirs >= this batch_id,
+      so a failure between writes or a checkpoint replay rewrites the same
+      directories instead of duplicating rows.
+    """
     spark = batch.sparkSession
+    seen_dir = os.path.join(workdir, "seen")
+    out_dir = os.path.join(workdir, "admitted")
+    pend_dir = os.path.join(workdir, "pending")
+
     batch = batch.dropDuplicates(["url_hash"])
-    # seen store accumulated across batches (parquet append — the streaming
-    # analog of the articles-log anti-join J2)
-    if os.path.exists(seen_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(seen_dir)
-    ):
-        seen = spark.read.parquet(seen_dir).select("url_hash")
+    pend_prior = _batch_dirs(pend_dir, batch_id)
+    if pend_prior:
+        # newest committed pending snapshot (cumulative — see write below)
+        newest = max(pend_prior, key=lambda d: int(os.path.basename(d)[1:]))
+        carried = spark.read.parquet(newest).select(*batch.columns)
+        batch = carried.unionByName(batch).dropDuplicates(["url_hash"])
+    seen_prior = _batch_dirs(seen_dir, batch_id)
+    if seen_prior:
+        seen = spark.read.parquet(*seen_prior).select("url_hash")
         fresh = batch.join(seen, "url_hash", "left_anti")
     else:
         fresh = batch
+    fresh = fresh.localCheckpoint(eager=True)
     w_host = Window.partitionBy("host").orderBy("seq")
     admitted = (
         fresh.withColumn("__rn", F.row_number().over(w_host))
@@ -65,11 +97,23 @@ def _admit_batch(batch: DataFrame, seen_dir: str, out_dir: str,
     admitted = (
         admitted.withColumn("admit_rank", F.row_number().over(w_glob) - 1)
         .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .localCheckpoint(eager=True)
     )
-    admitted.persist()
-    admitted.write.mode("append").parquet(out_dir)
-    admitted.select("url_hash").write.mode("append").parquet(seen_dir)
-    admitted.unpersist()
+    admitted.write.mode("overwrite").parquet(os.path.join(out_dir, f"b{batch_id}"))
+    admitted.select("url_hash").write.mode("overwrite").parquet(
+        os.path.join(seen_dir, f"b{batch_id}")
+    )
+    # cumulative pending snapshot: everything fresh that was NOT admitted
+    remainder = fresh.join(admitted.select("url_hash"), "url_hash", "left_anti")
+    remainder.write.mode("overwrite").parquet(
+        os.path.join(pend_dir, f"b{batch_id}")
+    )
+
+
+def read_admitted(spark: SparkSession, workdir: str) -> DataFrame:
+    """All committed admitted rows across batches (per-batch dirs)."""
+    dirs = _batch_dirs(os.path.join(workdir, "admitted"), below=1 << 60)
+    return spark.read.parquet(*dirs)
 
 
 def stream_crawl(
@@ -85,10 +129,8 @@ def stream_crawl(
     ``.awaitTermination()`` (use ``trigger(availableNow=True)`` semantics by
     stopping after the directory drains — the query object is returned).
     """
-    seen_dir = os.path.join(workdir, "seen")
-    out_dir = os.path.join(workdir, "admitted")
     ckpt = os.path.join(workdir, "_checkpoint")
-    os.makedirs(seen_dir, exist_ok=True)
+    os.makedirs(os.path.join(workdir, "seen"), exist_ok=True)
     stream = (
         spark.readStream.schema(FRONTIER_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -98,7 +140,7 @@ def stream_crawl(
         stream.writeStream.trigger(availableNow=True)
         .option("checkpointLocation", ckpt)
         .foreachBatch(
-            lambda b, bid: _admit_batch(b, seen_dir, out_dir, workers, bid)
+            lambda b, bid: _admit_batch(b, workdir, workers, bid)
         )
         .start()
     )

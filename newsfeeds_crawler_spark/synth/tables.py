@@ -100,3 +100,47 @@ def seeds_df(spark: SparkSession, corpus: SynthCorpus) -> DataFrame:
     return spark.createDataFrame(
         [(i, u) for i, u in enumerate(corpus.seeds)], ["seed_idx", "url"]
     )
+
+
+def corpus_df_compressed(
+    spark: SparkSession, corpus: SynthCorpus, num_buckets: int = 16
+) -> DataFrame:
+    """Compressed-body corpus variant (ref DefaultHttpFacade.scala:44-57):
+    every 200 body is stored gzip- or deflate-compressed in ``body_gz``
+    (+ content_encoding/charset columns) with ``body`` null — exercising
+    the engine's vectorized inflate+decode stage. Encoding choice is a
+    deterministic function of the canonical URL (crc32, not the
+    per-process-salted ``hash``)."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    rows = []
+    for p in corpus.pages.values():
+        if p.body is not None:
+            enc = "gzip" if (_zlib.crc32(p.url_canon.encode()) & 1) == 0 else "deflate"
+            data = p.body.encode("utf-8")
+            blob = _gzip.compress(data, 5) if enc == "gzip" else _zlib.compress(data, 5)
+            body, body_gz, charset = None, bytearray(blob), "utf-8"
+        else:
+            enc, body, body_gz, charset = None, None, None, None
+        rows.append((
+            p.url, p.url_canon, p.host, p.kind, p.status, body,
+            p.feed_pub_ts, p.pub_ts,
+            p.url_canon if p.kind == "article" and p.image is not None else None,
+            bytearray(p.image) if p.image is not None else None,
+            p.w or None, p.h or None, p.fmt,
+            p.caption, p.phash if p.image is not None else None,
+            body_gz, enc, charset,
+        ))
+    schema = StructType(
+        CORPUS_SCHEMA.fields
+        + [
+            StructField("body_gz", BinaryType(), True),
+            StructField("content_encoding", StringType(), True),
+            StructField("charset", StringType(), True),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    return df.withColumn("url_hash", F.xxhash64("url_canon")).withColumn(
+        "url_bucket", F.pmod(F.xxhash64("url_canon"), F.lit(num_buckets)).cast("int")
+    )

@@ -75,3 +75,46 @@ def test_crawl_with_bloom_prefilter_identical(spark, tmp_path):
     assert got == oracle.crawl_order
     seen = {r["url_canon"]: r["pub_ts"] for r in eng.articles_final().collect()}
     assert seen == oracle.seen
+
+
+def test_filter_persisted_not_rebuilt_per_epoch(spark, tmp_path, monkeypatch):
+    """The bloom blobs live in the seen_filter state table: built once,
+    then delta-merged per epoch (O(|upserts|)) — never rebuilt from the
+    full store."""
+    from newsfeeds_crawler_spark.oracle import simulate
+    from newsfeeds_crawler_spark.plans import CrawlConfig, CrawlEngine
+    from newsfeeds_crawler_spark.synth import CorpusSpec, synthesize
+    from newsfeeds_crawler_spark.synth.tables import (
+        corpus_df, hosts_df, preseen_df, seeds_df,
+    )
+
+    full_builds = []
+    orig_build = PartitionedBloom.build  # staticmethod -> plain function
+
+    def counting_build(df, key="url_hash", num_buckets=16,
+                       expected_per_bucket=100_000, fpp=0.01, m=None, k=None):
+        if m is None:  # full build (delta builds pass explicit m/k)
+            full_builds.append(1)
+        return orig_build(df, key, num_buckets, expected_per_bucket, fpp, m, k)
+
+    monkeypatch.setattr(PartitionedBloom, "build", staticmethod(counting_build))
+
+    corpus = synthesize(CorpusSpec(n_feeds=5, items_per_feed=6, n_hosts=4))
+    oracle = simulate(corpus)
+    eng = CrawlEngine(
+        spark, str(tmp_path / "pf"),
+        corpus_df(spark, corpus).cache(), hosts_df(spark, corpus),
+        seeds_df(spark, corpus), preseen_df(spark, corpus),
+        CrawlConfig(workers=corpus.spec.workers, seen_filter="bloom",
+                    bloom_expected_per_bucket=1000),
+    )
+    res = eng.run()
+    assert res["epochs"] >= 3
+    assert len(full_builds) == 1          # exactly one O(|seen|) build
+    assert eng.cat.exists("seen_filter")  # blobs snapshotted per epoch
+    assert eng.cat.meta("seen_filter")["kind"] == "bloom"
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in eng.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order

@@ -77,3 +77,37 @@ def test_phash_properties():
     ham_near = bin((h1 ^ codecs.phash64(near)) & ((1 << 64) - 1)).count("1")
     ham_far = bin((h1 ^ codecs.phash64(other)) & ((1 << 64) - 1)).count("1")
     assert ham_near <= 8 < ham_far
+
+
+def test_decode_body_gzip_deflate_charsets(spark):
+    """Arrow-vectorized HTTP entity decode == python mirror; bad streams
+    yield null (P3 routes them like a non-200)."""
+    import gzip, zlib
+
+    from newsfeeds_crawler_spark.operators.httpbody import (
+        decode_body, decode_body_py,
+    )
+    from pyspark.sql import functions as F
+
+    text = "caption – ünïcode ✓"
+    cases = [
+        (bytearray(gzip.compress(text.encode("utf-8"))), "gzip", "utf-8"),
+        (bytearray(zlib.compress(text.encode("utf-8"))), "deflate", "utf-8"),
+        (bytearray("plainlatin".encode("latin-1")), None, "latin-1"),
+        (bytearray(b"\x1f\x8b broken"), "gzip", "utf-8"),  # -> null
+        (None, "gzip", "utf-8"),                            # -> null
+    ]
+    df = spark.createDataFrame(
+        [(i, b, e, c) for i, (b, e, c) in enumerate(cases)],
+        "i int, raw binary, enc string, cs string",
+    )
+    got = {
+        r["i"]: r["body"]
+        for r in df.select(
+            "i", decode_body(F.col("raw"), F.col("enc"), F.col("cs")).alias("body")
+        ).collect()
+    }
+    for i, (b, e, c) in enumerate(cases):
+        assert got[i] == decode_body_py(bytes(b) if b else None, e, c), i
+    assert got[0] == text and got[1] == text and got[2] == "plainlatin"
+    assert got[3] is None and got[4] is None

@@ -276,3 +276,88 @@ def test_bucketed_seen_store_same_semantics(spark, tmp_path):
         r["url_canon"]: r["pub_ts"] for r in resumed.articles_final().collect()
     }
     assert got_seen == oracle.seen
+
+
+def test_priority_frontier_exact_vs_oracle(spark, tmp_path):
+    """north_star priority frontier at NON-trivial weights: admission order
+    = (priority, FIFO key); engine must equal the oracle's priority-queue
+    replay exactly, and the order must genuinely differ from pure FIFO."""
+    corpus = synthesize(CorpusSpec(n_feeds=6, items_per_feed=8, n_hosts=5))
+    w = dict(depth_weight=2000.0, recency_weight=1e-6)
+    oracle = simulate(corpus, **w)
+    fifo = simulate(corpus)
+    assert oracle.crawl_order != fifo.crawl_order  # weights actually bite
+
+    eng = _mk_engine(spark, corpus, str(tmp_path / "prio"), **w)
+    eng.run()
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in eng.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order
+    got_seen = {r["url_canon"]: r["pub_ts"] for r in eng.articles_final().collect()}
+    assert got_seen == oracle.seen
+
+
+def test_stall_timeout_quarantines_stuck_rows(spark, tmp_path):
+    """Liveness guard (ref FeedManager.scala:31-33,67-69): a host whose
+    crawl delay never elapses would stall the loop forever; after
+    stall_timeout_epochs consecutive zero-admission ticks the engine must
+    quarantine the stuck rows into ``errors``, log them as 'stalled', kill
+    their feeds, and terminate."""
+    corpus = synthesize(CorpusSpec(n_feeds=4, items_per_feed=5, n_hosts=3))
+    # one host becomes effectively permanently blocked after its 1st fetch
+    blocked = sorted(corpus.hosts)[0]
+    corpus.hosts[blocked]["crawl_delay_ms"] = 10**9
+    eng = _mk_engine(
+        spark, corpus, str(tmp_path / "stall"), stall_timeout_epochs=4
+    )
+    res = eng.run()
+    assert res["epochs"] < 100  # terminated, did not spin to max_epochs
+
+    errs = eng.cat.read("errors").filter(F.col("stage") == "stall_timeout")
+    n_err = errs.count()
+    assert n_err > 0
+    stalled = eng.frontier_all().filter(F.col("state") == "stalled")
+    assert stalled.count() == n_err
+    assert {r["host"] for r in stalled.collect()} == {blocked}
+    # no pending work remains; stalled feeds are dead
+    assert eng.cat.read("frontier").filter("state = 'pending'").count() == 0
+    dead = {
+        r["feed_canon"]
+        for r in eng.feeds_final().filter("state = 'dead'").collect()
+    }
+    assert dead  # at least the feeds owning stalled items
+
+
+def test_compressed_corpus_identical_results(spark, tmp_path):
+    """Gzip/deflate + charset body decode (DefaultHttpFacade.scala:44-57,
+    116): a corpus storing compressed bodies must produce the EXACT same
+    crawl order, seen set, and captions as the plain-text corpus."""
+    from newsfeeds_crawler_spark.synth.tables import corpus_df_compressed
+
+    corpus = synthesize(CorpusSpec(n_feeds=5, items_per_feed=6, n_hosts=4))
+    oracle = simulate(corpus)
+    cfg = CrawlConfig(workers=corpus.spec.workers, tick_ms=corpus.spec.tick_ms)
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "gz"),
+        corpus_df_compressed(spark, corpus).cache(),
+        hosts_df(spark, corpus),
+        seeds_df(spark, corpus),
+        preseen_df(spark, corpus),
+        cfg,
+    )
+    eng.run()
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in eng.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order
+    rows = {
+        r["url_canon"]: r
+        for r in eng.articles_final().filter(F.col("action") != "preseen").collect()
+    }
+    assert set(rows) == set(oracle.articles)
+    for u, o in oracle.articles.items():
+        assert rows[u]["caption"] == o["caption"], u  # byte-exact through gzip

@@ -149,3 +149,15 @@ def test_fetch_broadcasts_admitted_not_corpus(spark, tmp_path):
     assert "BroadcastHashJoin" in plan      # admitted is the build side
     assert "PartitionFilters" in plan       # bucket pruning reached the scan
     assert plan.count("bucket#") >= 1
+
+
+def test_brute_topk_has_partial_window_group_limit(spark, sf001):
+    """ANN brute-force: the per-query rank must plan a PARTIAL (pre-shuffle)
+    WindowGroupLimit so each input partition ships only its local top-k per
+    query — the per-query partition after the exchange holds ≤ k×P rows,
+    never |corpus|."""
+    import __spark_entry__ as E
+
+    plan = sparkplan(E.queries()["similarity_brute_topk"](spark, sf001))
+    assert "Partial" in plan.split("WindowGroupLimit")[2]
+    assert plan.count("WindowGroupLimit") >= 2

@@ -61,3 +61,27 @@ def test_crawl_delay(spark):
     assert got == want
     assert crawl_delay_ms_py(ROBOTS[4]) == 2500
     assert crawl_delay_ms_py(ROBOTS[0]) == 1000  # default
+
+
+def test_crawl_delay_binds_to_governing_group(spark):
+    """A googlebot-only Crawl-delay must NOT apply to '*'; the first
+    binding group's value wins; Column == python mirror."""
+    body = (
+        "User-agent: googlebot\n"
+        "Crawl-delay: 9\n"
+        "Disallow: /g\n"
+        "\n"
+        "User-agent: *\n"
+        "Crawl-delay: 2.5\n"
+        "Disallow: /a\n"
+    )
+    body2 = "User-agent: googlebot\nCrawl-delay: 9\n"  # nothing binds to *
+    df = spark.createDataFrame([(body,), (body2,)], ["b"])
+    rows = df.select(
+        crawl_delay_ms(F.col("b")).alias("ms"),
+        disallow_prefixes(F.col("b")).alias("dis"),
+    ).collect()
+    assert rows[0]["ms"] == crawl_delay_ms_py(body) == 2500
+    assert rows[0]["dis"] == disallow_prefixes_py(body) == ["/a"]
+    assert rows[1]["ms"] == crawl_delay_ms_py(body2) == 1000  # default
+    assert rows[1]["dis"] == disallow_prefixes_py(body2) == []

@@ -15,7 +15,9 @@ from newsfeeds_crawler_spark.sources.frontier import (
     write_bucketed,
 )
 from newsfeeds_crawler_spark.streaming.frontier_stream import (
+    _admit_batch,
     host_fetch_windows,
+    read_admitted,
     stream_crawl,
 )
 
@@ -84,7 +86,7 @@ def test_stream_crawl_matches_batch_semantics(spark, tmp_path):
         time.sleep(1.1)
     q = stream_crawl(spark, frontier_dir, workdir, workers=3)
     q.awaitTermination(120)
-    admitted = spark.read.parquet(os.path.join(workdir, "admitted"))
+    admitted = read_admitted(spark, workdir)
     rows = admitted.orderBy("batch_id", "admit_rank").collect()
     # batch semantics: per batch, one URL per host (5 hosts), capped at 3
     for bid in {r.batch_id for r in rows}:
@@ -111,3 +113,100 @@ def test_host_fetch_windows_batch_semantics(spark):
     }
     assert out[("h1", "2024-01-01 00:00:00")] == 2
     assert out[("h2", "2024-01-01 00:10:00")] == 1
+
+
+def _stream_batch(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "url string, url_canon string, url_hash long, host string, "
+        "enqueue_ts timestamp, seq long",
+    )
+
+
+def test_admit_batch_carries_pending_and_is_idempotent(spark, tmp_path):
+    """Non-admitted rows must re-enter later batches (pending state), and
+    replaying a batch must not duplicate any sink row."""
+    wd = str(tmp_path / "wd")
+    b0 = _stream_batch(spark, [
+        ("u0", "u0", 10, "h0", None, 0),
+        ("u1", "u1", 11, "h0", None, 1),   # loses host top-1
+        ("u2", "u2", 12, "h1", None, 2),   # loses worker cap
+    ])
+    _admit_batch(b0, wd, workers=1, batch_id=0)
+    got0 = read_admitted(spark, wd)
+    assert [r.seq for r in got0.collect()] == [0]
+
+    empty = _stream_batch(spark, [])
+    _admit_batch(empty, wd, workers=1, batch_id=1)
+    got01 = {r.seq for r in read_admitted(spark, wd).collect()}
+    assert got01 == {0, 1}  # pending u1 carried in and admitted
+
+    # replay batch 1 (checkpoint replay after crash): same state, no dups
+    _admit_batch(empty, wd, workers=1, batch_id=1)
+    rows = read_admitted(spark, wd).collect()
+    assert sorted(r.seq for r in rows) == [0, 1]
+
+    # batch 2 drains the remaining pending row
+    _admit_batch(empty, wd, workers=1, batch_id=2)
+    assert {r.seq for r in read_admitted(spark, wd).collect()} == {0, 1, 2}
+
+
+def test_stateful_host_gate_matches_batch_politeness(spark, tmp_path):
+    """applyInPandasWithState politeness gate: streamed admissions must
+    equal a pure-python replay of the same per-host W1-W3 discipline
+    (FIFO per host, top-1 per tick, crawl-delay budget in ticks)."""
+    from newsfeeds_crawler_spark.streaming.frontier_stream import (
+        FRONTIER_STREAM_SCHEMA,
+    )
+    from newsfeeds_crawler_spark.streaming.stateful_gate import stream_host_gate
+
+    frontier_dir = str(tmp_path / "gate_in")
+    workdir = str(tmp_path / "gate_wd")
+    os.makedirs(frontier_dir)
+    # 3 micro-batches; every batch carries rows for every host (the
+    # deterministic subset of the gate's semantics — see module docstring)
+    hosts = ["h0", "h1"]
+    batches = []
+    seq = 0
+    for b in range(3):
+        rows = []
+        for h in hosts:
+            for j in range(2):
+                rows.append((f"u{seq}", f"u{seq}", seq * 7, h, None, seq))
+                seq += 1
+        batches.append(rows)
+    for b, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, FRONTIER_STREAM_SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"gb{b}"))
+        for fn in os.listdir(str(tmp_path / f"gb{b}")):
+            if fn.endswith(".parquet"):
+                os.rename(
+                    str(tmp_path / f"gb{b}" / fn),
+                    f"{frontier_dir}/batch{b}.parquet",
+                )
+        time.sleep(1.1)
+
+    delay = 2  # admissible every 2nd tick
+    q = stream_host_gate(
+        spark, frontier_dir, workdir, FRONTIER_STREAM_SCHEMA,
+        delay_batches=delay,
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.host, r.seq, r.gate_tick)
+        for r in spark.read.parquet(os.path.join(workdir, "gated")).collect()
+    }
+
+    # pure-python replay of W1-W3 over the same tick sequence
+    state = {h: {"pend": [], "ticks": 0, "last": -(10**9)} for h in hosts}
+    want = set()
+    for rows in batches:
+        for h in hosts:
+            st = state[h]
+            st["pend"].extend(s for (_, _, _, hh, _, s) in rows if hh == h)
+            st["pend"].sort()
+            st["ticks"] += 1
+            if st["pend"] and st["ticks"] - st["last"] >= delay:
+                want.add((h, st["pend"].pop(0), st["ticks"]))
+                st["last"] = st["ticks"]
+    assert got == want and got  # non-empty, exact

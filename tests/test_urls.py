@@ -69,3 +69,26 @@ def test_spark_canonicalize_stays_jvm_side(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_malformed_scheme_and_ipv6_edges_match_mirror(spark):
+    """ADVICE edge inputs: scheme-less URL embedding an absolute URL in its
+    query, and IPv6 host-port literals — Spark must match the Python
+    oracle mirror byte-for-byte."""
+    cases = [
+        "example.com/p?u=http://b.com",
+        "http://[::1]:8080/x",
+        "http://[::1]:80/x",
+        "https://h.com:443//a//b?q=1#frag",
+        "weird_scheme!//host/x",
+        "ftp+x.y-z://Host.COM//p",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["u"])
+    rows = df.select(
+        "u",
+        canonicalize_url("u").alias("c"),
+        url_host("u").alias("h"),
+    ).collect()
+    for r in rows:
+        assert r["c"] == canonicalize_url_py(r["u"]), r["u"]
+        assert r["h"] == url_host_py(r["u"]), r["u"]

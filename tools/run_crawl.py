@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--recency-weight", type=float, default=0.0)
     ap.add_argument("--resume", action="store_true",
                     help="resume from the last committed epoch in workdir")
+    ap.add_argument("--config", default=None,
+                    help=".properties file in the reference format "
+                         "(feed.*/http.*/feedManager.*) — supplies workers, "
+                         "tick and stall timeout; CLI flags still override "
+                         "epochs/salting/bloom")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -63,14 +68,21 @@ def main():
             n_feeds=args.feeds, items_per_feed=args.items, n_hosts=args.hosts
         )
     )
-    cfg = CrawlConfig(
-        workers=args.workers,
+    common = dict(
         max_epochs=args.epochs,
         salt_partitions=args.salt_partitions,
         use_bloom=args.use_bloom,
         depth_weight=args.depth_weight,
         recency_weight=args.recency_weight,
     )
+    if args.config:
+        from newsfeeds_crawler_spark.config import CrawlerConfiguration
+
+        cfg = CrawlerConfiguration.from_properties_file(
+            args.config
+        ).to_crawl_config(**common)
+    else:
+        cfg = CrawlConfig(workers=args.workers, **common)
     engine = CrawlEngine(
         spark,
         args.workdir,
