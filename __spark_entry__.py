@@ -506,6 +506,128 @@ def q_image_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4b — resize plumbing: decode → nearest-neighbor resize (numpy
+    gather inside mapInPandas) → self-verification against an independent
+    recompute from the deterministic source image. Rows-only check (binary
+    payloads have no SQL-expressible oracle); ok must be true for all rows.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType, BooleanType, IntegerType, LongType, StringType,
+        StructField, StructType,
+    )
+
+    from newsfeeds_crawler_spark.functions import codecs
+    from newsfeeds_crawler_spark.operators.multimodal import (
+        decode_images, resize_images,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 96).select("doc_id")
+    enc_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("bytes", BinaryType()),
+        StructField("fmt", StringType()),
+    ])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fmts = ["ppm", "bmp", "png"]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                rng = np.random.default_rng(int(did) + 7)
+                img = rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8)
+                rows.append((int(did), codecs.encode_image(img, fmts[int(did) % 3]),
+                             fmts[int(did) % 3]))
+            yield pd.DataFrame(rows, columns=[f.name for f in enc_schema.fields])
+
+    OW, OH = 7, 5
+    resized = resize_images(decode_images(d.mapInPandas(encode, enc_schema)), OW, OH)
+    ver_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("res_w", IntegerType()),
+        StructField("res_h", IntegerType()),
+        StructField("ok", BooleanType()),
+    ])
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                rng = np.random.default_rng(int(r["doc_id"]) + 7)
+                img = rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8)
+                yi = (np.arange(OH) * 10) // OH
+                xi = (np.arange(OW) * 14) // OW
+                want = img[yi][:, xi].tobytes()
+                rows.append((int(r["doc_id"]), int(r["res_w"]), int(r["res_h"]),
+                             bytes(r["resized"]) == want))
+            yield pd.DataFrame(rows, columns=[f.name for f in ver_schema.fields])
+
+    return resized.select("doc_id", "res_w", "res_h", "resized").mapInPandas(
+        verify, ver_schema
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4c — frame-sampler plumbing (video codec honestly stubbed: payload
+    = concatenated fixed-size frames): one row per sampled frame with a
+    deterministic frame_idx and a self-check that the frame slice equals
+    an independent recompute. Rows-only check."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType, BooleanType, IntegerType, LongType, StructField,
+        StructType,
+    )
+
+    from newsfeeds_crawler_spark.operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select("doc_id")
+    FRAME, EVERY, NFRAMES = 16, 3, 12
+    enc_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("video", BinaryType()),
+    ])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                rng = np.random.default_rng(int(did) + 99)
+                rows.append((int(did),
+                             rng.integers(0, 256, size=FRAME * NFRAMES,
+                                          dtype=np.uint8).tobytes()))
+            yield pd.DataFrame(rows, columns=["doc_id", "video"])
+
+    frames = sample_frames(d.mapInPandas(encode, enc_schema), EVERY, FRAME)
+    ver_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ok", BooleanType()),
+    ])
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                did, idx = int(r["doc_id"]), int(r["frame_idx"])
+                rng = np.random.default_rng(did + 99)
+                buf = rng.integers(0, 256, size=FRAME * NFRAMES,
+                                   dtype=np.uint8).tobytes()
+                want = buf[idx * FRAME:(idx + 1) * FRAME]
+                rows.append((did, idx, bytes(r["frame"]) == want))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "ok"])
+
+    return frames.select("doc_id", "frame_idx", "frame").mapInPandas(
+        verify, ver_schema
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_canonicalize": q_url_canonicalize,
@@ -532,6 +654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_rollup": q_metrics_rollup,
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "image_decode_roundtrip": q_image_decode_roundtrip,
+        "image_resize_roundtrip": q_image_resize_roundtrip,
+        "frame_sample": q_frame_sample,
     }
 
 

@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "metrics_rollup",
     "dedup_rate_by_source",
     "image_decode_roundtrip",
+    "image_resize_roundtrip",
+    "frame_sample",
 ]
 
 

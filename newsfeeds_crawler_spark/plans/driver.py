@@ -560,6 +560,7 @@ class CrawlEngine:
             .select(*[f.name for f in S.HOSTS_SCHEMA.fields])
         )
 
+
         # ---- feeds table: outcomes + watermark completion (A1/A2/S7) -----
         feeds_t = cat.read("feeds", v["feeds"])
         fu = feed_out.unionByName(
@@ -683,27 +684,39 @@ class CrawlEngine:
             seen_new = store_latest.join(
                 seen_upserts.select("url_canon"), "url_canon", "left_anti"
             ).unionByName(seen_upserts)
-            return cat.write("seen_urls", seen_new)
+            return cat.write(
+                "seen_urls",
+                seen_new.coalesce(self.spark.sparkContext.defaultParallelism),
+            )
 
+        # coalesce each snapshot to a sane file/task count: per-epoch state
+        # frames are unions of several 32-partition parents, so an
+        # uncoalesced write schedules 96-256 near-empty tasks (pure
+        # scheduling overhead at small epochs, tiny-file bloat at any
+        # scale). Dimension tables get few files; row tables get one file
+        # per core. Tune with num_host_buckets on a real cluster.
+        P = self.spark.sparkContext.defaultParallelism
+        small, big = min(8, P), P
         jobs = {
-            "frontier": lambda: cat.write("frontier", frontier_new),
+            "frontier": lambda: cat.write("frontier", frontier_new.coalesce(big)),
             "frontier_log": lambda: cat.write(
-                "frontier_log", log_rows, mode="append",
+                "frontier_log", log_rows.coalesce(small), mode="append",
                 base_version=v["frontier_log"],
             ),
             "seen_urls": w_seen,
-            "hosts": lambda: cat.write("hosts", hosts_new),
-            "feeds": lambda: cat.write("feeds", feeds_new),
+            "hosts": lambda: cat.write("hosts", hosts_new.coalesce(small)),
+            "feeds": lambda: cat.write("feeds", feeds_new.coalesce(small)),
             "articles": lambda: cat.write(
-                "articles", article_rows, mode="append",
+                "articles", article_rows.coalesce(big), mode="append",
                 base_version=v["articles"],
             ),
             "metrics": lambda: cat.write(
-                "metrics", metrics_new, mode="append",
+                "metrics", metrics_new.coalesce(small), mode="append",
                 base_version=v["metrics"],
             ),
             "errors": lambda: cat.write(
-                "errors", errors_new, mode="append", base_version=v["errors"]
+                "errors", errors_new.coalesce(small), mode="append",
+                base_version=v["errors"]
             ),
         }
         if bloom is not None:
