@@ -628,6 +628,35 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing (north_star; no reference analog) — synthetic
+    two-group robots bodies derived from doc_id; the googlebot group's
+    Crawl-delay/Disallow must NOT bind to '*' (group binding), so the
+    expected values are a pure function of doc_id that DuckDB computes
+    WITHOUT a parser — an independent semantic oracle."""
+    from newsfeeds_crawler_spark.functions.robots import (
+        crawl_delay_ms,
+        disallow_prefixes,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    body = F.concat(
+        F.lit("# synthetic robots\n"),
+        F.lit("User-agent: googlebot\nCrawl-delay: 9\nDisallow: /g"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("\n\nUser-agent: *\nCrawl-delay: "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("\nDisallow: /p"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("\nDisallow:\n"),  # empty value: contributes nothing
+    )
+    return d.select(
+        "doc_id",
+        crawl_delay_ms(body).cast("int").alias("delay_ms"),
+        F.array_join(disallow_prefixes(body), ",").alias("disallow_csv"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_canonicalize": q_url_canonicalize,
@@ -654,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_rollup": q_metrics_rollup,
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "image_decode_roundtrip": q_image_decode_roundtrip,
+        "robots_parse": q_robots_parse,
         "image_resize_roundtrip": q_image_resize_roundtrip,
         "frame_sample": q_frame_sample,
     }
@@ -682,6 +712,12 @@ def oracle_sql() -> dict[str, str]:
         f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(SIMHASH_BITS)
     )
     return {
+        "robots_parse": (
+            "SELECT doc_id, "
+            "((doc_id % 7) * 1000)::INT AS delay_ms, "
+            "'/p' || (doc_id % 5)::VARCHAR AS disallow_csv "
+            "FROM documents WHERE doc_id < 512"
+        ),
         "url_canonicalize": """
             SELECT c_custkey,
                    'http://host' || (c_custkey % 20) || '.example.com/p/'

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "text_lang_quality",
     "metrics_rollup",
     "dedup_rate_by_source",
+    "robots_parse",
     "image_decode_roundtrip",
     "image_resize_roundtrip",
     "frame_sample",

@@ -44,13 +44,34 @@ def token_jaccard_pairs(
     text_col: str,
     block_cols: list[str],
     threshold: float = 0.5,
+    warn_block_size: int = 0,
 ) -> DataFrame:
     """Near-dup pairs by word-set Jaccard within blocking-key groups.
 
     Blocking bounds the self-join: only rows sharing ``block_cols`` are
     compared (at scale the join shuffles on the block key; pick keys with
     bounded group sizes). Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``warn_block_size`` > 0 runs a cheap pre-aggregation and PRINTS any
+    block whose cardinality exceeds it (n rows → n² comparisons) — a
+    no-silent-degradation guard: results are never capped or sampled, the
+    hot blocks are just surfaced so callers can refine the blocking key.
     """
+    if warn_block_size > 0:
+        hot = (
+            df.groupBy(*block_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > warn_block_size)
+            .orderBy(F.col("__n").desc())
+            .limit(20)
+            .collect()
+        )
+        for r in hot:
+            key = ", ".join(f"{c}={r[c]!r}" for c in block_cols)
+            print(
+                f"[token_jaccard_pairs] HOT BLOCK ({key}): {r['__n']} rows "
+                f"-> {r['__n'] ** 2:,} comparisons; refine block_cols"
+            )
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     side = df.select(
         *[F.col(c) for c in block_cols],

@@ -115,3 +115,21 @@ def test_ivf_topk_probes_one_cell(vecs):
     assert 0 in got and 2 not in got and 3 not in got
     # approximate-by-design: y-cell vectors are not scanned
     assert got <= {0, 5}
+
+
+def test_token_jaccard_hot_block_guard_warns_not_caps(spark, capsys):
+    """warn_block_size surfaces quadratic blocks WITHOUT changing results."""
+    from newsfeeds_crawler_spark.operators.dedup import token_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, "en", "the same text here") for i in range(30)]
+        + [(100, "fr", "autre texte")],
+        ["doc_id", "lang", "text"],
+    )
+    base = token_jaccard_pairs(df, "doc_id", "text", ["lang"]).collect()
+    guarded = token_jaccard_pairs(
+        df, "doc_id", "text", ["lang"], warn_block_size=10
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, guarded))  # no cap
+    out = capsys.readouterr().out
+    assert "HOT BLOCK" in out and "lang='en'" in out and "30 rows" in out
