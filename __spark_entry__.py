@@ -390,6 +390,19 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF MULTI-probe (n_probe=2) cosine top-5 — recovers single-probe's
+    cell-boundary misses at 2x candidate cost, still never |corpus|."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e,
+        e.filter(F.col("vec_id") < 8),
+        e.filter(F.col("vec_id") % 50 == 0),
+        k=5,
+        n_probe=2,
+    )
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, IVF-cell blocked (sim >= 0.3)."""
     e = _t(spark, sf_dir, "embeddings")
@@ -677,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "similarity_brute_topk": q_similarity_brute_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
+        "similarity_ivf_multiprobe": q_similarity_ivf_multiprobe,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_stats": q_text_stats,
         "text_lang_quality": q_text_lang_quality,
@@ -868,6 +882,34 @@ def oracle_sql() -> dict[str, str]:
                 WHERE rn = 1),
             q AS (SELECT id AS q_id, cell, vec AS q_vec FROM asg WHERE id < 8),
             s AS (SELECT q_id, a.id AS n_id,
+                         round({cosine_sql('q_vec', 'a.vec')}, 8) AS sim
+                  FROM asg a JOIN q USING (cell) WHERE a.id <> q_id)
+            SELECT q_id::BIGINT AS q_id, n_id::BIGINT AS n_id, sim,
+                   rank::INT AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM s)
+            WHERE rank <= 5
+        """,
+        "similarity_ivf_multiprobe": f"""
+            WITH cent AS (SELECT vec_id AS cell, embedding AS c_vec
+                          FROM embeddings WHERE vec_id % 50 = 0),
+            v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+            asg AS (
+                SELECT id, cell, vec FROM (
+                    SELECT id, cell, vec, row_number() OVER (
+                        PARTITION BY id
+                        ORDER BY round({ccos}, 8) DESC, cell) AS rn
+                    FROM v, cent)
+                WHERE rn = 1),
+            qasg AS (
+                SELECT id, cell, vec FROM (
+                    SELECT id, cell, vec, row_number() OVER (
+                        PARTITION BY id
+                        ORDER BY round({ccos}, 8) DESC, cell) AS rn
+                    FROM v, cent)
+                WHERE rn <= 2 AND id < 8),
+            q AS (SELECT id AS q_id, cell, vec AS q_vec FROM qasg),
+            s AS (SELECT DISTINCT q_id, a.id AS n_id,
                          round({cosine_sql('q_vec', 'a.vec')}, 8) AS sim
                   FROM asg a JOIN q USING (cell) WHERE a.id <> q_id)
             SELECT q_id::BIGINT AS q_id, n_id::BIGINT AS n_id, sim,

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "similarity_brute_topk",
     "similarity_ivf_topk",
+    "similarity_ivf_multiprobe",
     "text_stats",
     "text_lang_quality",
     "metrics_rollup",

@@ -112,10 +112,13 @@ def assign_cells(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    top_n: int = 1,
 ) -> DataFrame:
-    """IVF assignment: nearest centroid by cosine → (id, cell, vec).
+    """IVF assignment: nearest centroid(s) by cosine → (id, cell, vec).
 
-    Tie-break on centroid id keeps the assignment deterministic.
+    ``top_n`` > 1 returns the ``top_n`` nearest cells per vector (the
+    multi-probe query-side assignment). Tie-break on centroid id keeps the
+    assignment deterministic.
     """
     cent = F.broadcast(
         centroids.select(
@@ -141,7 +144,7 @@ def assign_cells(
     w = Window.partitionBy("id").orderBy(F.col("c_sim").desc(), F.col("cell"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= top_n)
         .select("id", "cell", "vec", _norm(F.col("vec")).alias("nrm"))
     )
 
@@ -194,16 +197,18 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k probing only the query's IVF cell.
+    """Approximate top-k probing the query's ``n_probe`` nearest IVF cells.
 
-    Recall < 1 by construction (single-probe); the exactness trade is the
-    point — candidates per query drop from |corpus| to |cell|. At scale the
+    Recall < 1 by construction; multi-probe (``n_probe`` > 1) recovers the
+    cell-boundary misses of single-probe at ``n_probe``× the candidate
+    cost — still |n_probe × cell| per query, never |corpus|. At scale the
     assignment is precomputed and the corpus is bucketed by cell, turning
     the probe into a partition-pruned scan.
     """
     assigned = assign_cells(corpus, centroids, id_col, vec_col)
-    q = assign_cells(queries, centroids, id_col, vec_col).select(
+    q = assign_cells(queries, centroids, id_col, vec_col, top_n=n_probe).select(
         F.col("id").alias("q_id"), F.col("cell"),
         F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm"),
     )
@@ -224,6 +229,9 @@ def ivf_topk(
             ).alias("sim"),
         )
     )
+    if n_probe > 1:
+        # a neighbor in several probed cells scores identically each time
+        sims = sims.dropDuplicates(["q_id", "n_id"])
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))

@@ -84,6 +84,11 @@ class CrawlConfig:
     # with zero admissions, quarantine the stuck pending rows into
     # ``errors``, kill their feeds, and converge. 0 = disabled.
     stall_timeout_epochs: int = 60
+    # compact the append-only tables (frontier_log/metrics/errors) every N
+    # epochs: each epoch appends one directory, so an uncompacted 10^4-epoch
+    # run reads 10^4 dirs per log scan; compaction rewrites the log as one
+    # snapshot (old dirs become unreachable -> vacuum). 0 = never.
+    compact_log_every: int = 0
 
 
 class CrawlEngine:
@@ -837,6 +842,20 @@ class CrawlEngine:
                 for t in _S.STATE_TABLES:
                     if cat.exists(t):
                         cat.vacuum(t, keep_last=2)
+            if cfg.compact_log_every and (tick + 1) % cfg.compact_log_every == 0:
+                versions = dict(versions)
+                for t in ("frontier_log", "metrics", "errors"):
+                    compacted = self.cat.read(t, versions[t]).localCheckpoint(
+                        eager=True
+                    )
+                    versions[t] = self.cat.write(
+                        t,
+                        compacted.coalesce(
+                            self.spark.sparkContext.defaultParallelism
+                        ),
+                        mode="overwrite",
+                    )
+                cat.commit_epoch(tick + 1, versions, meta={"event": "compact_log"})
             if (
                 cfg.compact_articles_every
                 and (tick + 1) % cfg.compact_articles_every == 0

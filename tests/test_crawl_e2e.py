@@ -361,3 +361,26 @@ def test_compressed_corpus_identical_results(spark, tmp_path):
     assert set(rows) == set(oracle.articles)
     for u, o in oracle.articles.items():
         assert rows[u]["caption"] == o["caption"], u  # byte-exact through gzip
+
+
+def test_log_compaction_preserves_results_and_bounds_dirs(spark, tmp_path):
+    """compact_log_every rewrites the append logs as one snapshot so a long
+    run's log reads stay O(1) dirs, with identical crawl results."""
+    import os
+
+    corpus = synthesize(CorpusSpec(n_feeds=5, items_per_feed=6, n_hosts=4))
+    oracle = simulate(corpus)
+    eng = _mk_engine(spark, corpus, str(tmp_path / "clog"))
+    eng.cfg.compact_log_every = 3
+    eng.cfg.vacuum_every = 3
+    eng.run()
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in eng.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order
+    m = eng.metrics_df().agg(F.sum("urls_fetched").alias("f")).first()
+    assert m["f"] == len(oracle.crawl_order)
+    # dirs bounded: ≤ compact interval + a couple of snapshots, not #epochs
+    man = eng.cat._manifest("frontier_log", eng.cat.current_version("frontier_log"))
+    assert len(man["data_dirs"]) <= eng.cfg.compact_log_every + 2

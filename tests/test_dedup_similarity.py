@@ -133,3 +133,22 @@ def test_token_jaccard_hot_block_guard_warns_not_caps(spark, capsys):
     assert sorted(map(tuple, base)) == sorted(map(tuple, guarded))  # no cap
     out = capsys.readouterr().out
     assert "HOT BLOCK" in out and "lang='en'" in out and "30 rows" in out
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark):
+    """n_probe=2 must be a superset-quality approximation: per-query recall
+    vs brute-force is >= single-probe, and candidates stay cell-bounded."""
+    from newsfeeds_crawler_spark.operators.similarity import brute_topk, ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 6)
+    cent = e.filter(F.col("vec_id") % 25 == 0)
+    brute = {(r.q_id, r.n_id) for r in brute_topk(e, q, k=5).collect()}
+    single = {(r.q_id, r.n_id) for r in ivf_topk(e, q, cent, k=5).collect()}
+    multi = {
+        (r.q_id, r.n_id) for r in ivf_topk(e, q, cent, k=5, n_probe=2).collect()
+    }
+    r1 = len(brute & single) / len(brute)
+    r2 = len(brute & multi) / len(brute)
+    assert r2 >= r1
+    assert len(multi) <= 6 * 5  # still k-bounded per query
