@@ -45,6 +45,7 @@ from newsfeeds_crawler_spark.operators.dedup import (
     exact_dups,
     minhash_lsh_pairs,
     simhash_docs,
+    simhash_hamming_pairs,
     token_jaccard_pairs,
 )
 from newsfeeds_crawler_spark.operators.similarity import (
@@ -373,6 +374,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_docs(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-join: banded candidates (3×8-bit bands — full recall
+    for distance ≤ 2 by pigeonhole), bit_count(xor) verification."""
+    return simhash_hamming_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_dist=2
+    )
+
+
 def q_similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors vec_id < 8."""
     e = _t(spark, sf_dir, "embeddings")
@@ -688,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_token_jaccard": q_dedup_token_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_hamming": q_dedup_simhash_hamming,
         "similarity_brute_topk": q_similarity_brute_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "similarity_ivf_multiprobe": q_similarity_ivf_multiprobe,
@@ -846,6 +856,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, jaccard FROM (
                 SELECT id_a, id_b, {gjac} AS jaccard FROM cand)
             WHERE jaccard >= 0.2
+        """,
+        "dedup_simhash_hamming": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(list_distinct(string_split_regex(
+                    lower(trim(text)), '\\s+'))) AS tok FROM documents),
+            h AS (SELECT doc_id, {fingerprint_sql("tok")} AS h FROM toks),
+            votes AS (SELECT doc_id, {simhash_votes} FROM h GROUP BY doc_id),
+            sh AS (SELECT doc_id::BIGINT AS id,
+                          ({simhash_val})::BIGINT AS simhash FROM votes),
+            banded AS (
+                SELECT id, simhash, d, (simhash // d) % 256 AS bv
+                FROM sh, (SELECT unnest([1, 256, 65536]) AS d)),
+            cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                       a.simhash AS s_a, b.simhash AS s_b
+                FROM banded a JOIN banded b USING (d, bv)
+                WHERE a.id < b.id)
+            SELECT id_a, id_b, bit_count(xor(s_a, s_b))::INT AS hamming
+            FROM cand WHERE bit_count(xor(s_a, s_b)) <= 2
         """,
         "dedup_simhash": f"""
             WITH tok AS (

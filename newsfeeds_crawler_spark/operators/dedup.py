@@ -242,3 +242,60 @@ def simhash_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+    bands: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_dist``, found via
+    band-bucketing — never an all-pairs comparison.
+
+    The ``bits``-bit simhash splits into ``bands`` equal bands; a pair
+    within hamming distance d < ``bands`` leaves at least one band
+    untouched (pigeonhole), so joining on shared band values has FULL
+    recall for ``max_dist`` ≤ ``bands`` − 1. Candidates live only inside
+    band buckets (Σ bucket² pairs, not |docs|²) and verification is one
+    cheap ``bit_count(a ^ b)`` per candidate — the 100 TB shape.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, hamming ≤ max_dist.
+    """
+    from newsfeeds_crawler_spark.functions.dedup import SIMHASH_BITS
+
+    bits = SIMHASH_BITS
+    assert bits % bands == 0 and max_dist <= bands - 1
+    bw = bits // bands
+    sh = simhash_docs(df, id_col, text_col, bits)
+    band_arr = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}_"),
+                (
+                    F.floor(F.col("simhash") / F.lit(2 ** (b * bw))).cast("bigint")
+                    % F.lit(2**bw)
+                ).cast("string"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sh.select("id", "simhash", F.explode(band_arr).alias("bk"))
+    a = banded.select(
+        "bk", F.col("id").alias("id_a"), F.col("simhash").alias("s_a")
+    )
+    b = banded.select(
+        "bk", F.col("id").alias("id_b"), F.col("simhash").alias("s_b")
+    )
+    return (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.expr("bit_count(s_a ^ s_b)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_dist)
+    )

@@ -152,3 +152,29 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     r2 = len(brute & multi) / len(brute)
     assert r2 >= r1
     assert len(multi) <= 6 * 5  # still k-bounded per query
+
+
+def test_simhash_hamming_pairs_full_recall_within_band_bound(spark):
+    """Pigeonhole guarantee: with 3 bands, EVERY pair at hamming ≤ 2 shares
+    a clean band — the banded join must find exactly the brute-force set."""
+    from newsfeeds_crawler_spark.operators.dedup import (
+        simhash_docs, simhash_hamming_pairs,
+    )
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_hamming_pairs(df, "doc_id", "text", max_dist=2).collect()
+    }
+    sh = {r.id: r.simhash for r in simhash_docs(df, "doc_id", "text").collect()}
+    want = set()
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(sh[a] ^ sh[b]).count("1")
+            if d <= 2:
+                want.add((a, b, d))
+    assert got == want
