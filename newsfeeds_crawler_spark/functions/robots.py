@@ -63,39 +63,57 @@ _RULE_KEYS = ("disallow", "allow", "crawl-delay")
 
 def _bound_rules(secs: Column, agent: str) -> Column:
     """Rule lines (Disallow / Allow / Crawl-delay) whose governing
-    User-agent group names ``agent`` exactly or ``*``.
+    User-agent group names ``agent`` exactly or ``*`` —
+    ``array<struct<key,value>>`` in file order.
 
-    A rule's group = the contiguous block of user-agent lines right above
-    it (standard grammar: any rule line closes the current group, the next
-    user-agent line opens a new one). Expressed as: an agent line ``a``
-    belongs to rule ``d``'s group iff no OTHER rule line separates ``a``
-    from the nearest agent line above ``d``. Orphan rules (no user-agent
-    above) are ignored, matching the python mirror.
+    Single O(lines) ``F.aggregate`` fold carrying (current agent group,
+    in-rules flag, bound rules) — the exact Column transcription of the
+    python mirror's ``_iter_rules_py`` state machine: a rule line closes
+    the agent block, the next user-agent line opens a new one, orphan
+    rules (no user-agent above) never bind. The previous formulation
+    re-scanned the agent/rule arrays per rule line (O(rules²·agents) per
+    body); this one is one pass.
     """
-    agents = F.filter(secs, lambda s: s.getField("key") == "user-agent")
-    is_rule = lambda s: s.getField("key").isin(*_RULE_KEYS)  # noqa: E731
-    rules = F.filter(secs, is_rule)
+    state0 = F.struct(
+        F.array().cast("array<string>").alias("agents"),
+        F.lit(False).alias("in_rules"),
+        F.array()
+        .cast("array<struct<key:string,value:string>>")
+        .alias("out"),
+    )
 
-    def binds(d):
-        above = F.filter(
-            agents, lambda a: a.getField("line_no") < d.getField("line_no")
+    def step(st, s):
+        key, value = s.getField("key"), s.getField("value")
+        is_agent = key == F.lit("user-agent")
+        is_rule = key.isin(*_RULE_KEYS)
+        new_agents = (
+            F.when(is_agent & st.getField("in_rules"), F.array(value))
+            .when(is_agent, F.array_append(st.getField("agents"), value))
+            .otherwise(st.getField("agents"))
         )
-        nearest = F.element_at(above, -1)
-        return F.when(F.size(above) == 0, F.lit(False)).otherwise(
-            F.exists(
-                above,
-                lambda a: (
-                    (a.getField("value") == agent) | (a.getField("value") == "*")
-                )
-                & ~F.exists(
-                    rules,
-                    lambda r: (r.getField("line_no") > a.getField("line_no"))
-                    & (r.getField("line_no") < nearest.getField("line_no")),
-                ),
-            )
+        binds = F.exists(
+            st.getField("agents"),
+            lambda a: (a == F.lit(agent)) | (a == F.lit("*")),
+        )
+        new_out = F.when(
+            is_rule & binds,
+            F.array_append(
+                st.getField("out"),
+                F.struct(key.alias("key"), value.alias("value")),
+            ),
+        ).otherwise(st.getField("out"))
+        new_in = (
+            F.when(is_agent & st.getField("in_rules"), F.lit(False))
+            .when(is_rule, F.lit(True))
+            .otherwise(st.getField("in_rules"))
+        )
+        return F.struct(
+            new_agents.alias("agents"),
+            new_in.alias("in_rules"),
+            new_out.alias("out"),
         )
 
-    return F.filter(rules, binds)
+    return F.aggregate(secs, state0, step).getField("out")
 
 
 def disallow_prefixes(body: Column, agent: str = "*") -> Column:
