@@ -39,6 +39,14 @@ def main():
                     help=">0 enables salted pre-rank for hot-host skew")
     ap.add_argument("--use-bloom", action="store_true",
                     help="Bloom-prefilter the seen probe")
+    ap.add_argument("--seen-filter", choices=["none", "bloom", "cuckoo"],
+                    default="none", help="persisted seen prefilter kind")
+    ap.add_argument("--seen-buckets", type=int, default=16,
+                    help="hash-bucket the seen_urls table; per-epoch merge "
+                         "rewrites only touched buckets (0 = plain table)")
+    ap.add_argument("--corpus-buckets", type=int, default=0,
+                    help=">0 materializes a bucketed corpus copy and "
+                         "partition-prunes every fetch scan")
     ap.add_argument("--depth-weight", type=float, default=0.0)
     ap.add_argument("--recency-weight", type=float, default=0.0)
     ap.add_argument("--resume", action="store_true",
@@ -72,6 +80,9 @@ def main():
         max_epochs=args.epochs,
         salt_partitions=args.salt_partitions,
         use_bloom=args.use_bloom,
+        seen_filter=args.seen_filter,
+        seen_buckets=args.seen_buckets,
+        corpus_buckets=args.corpus_buckets,
         depth_weight=args.depth_weight,
         recency_weight=args.recency_weight,
     )
