@@ -384,3 +384,56 @@ def test_log_compaction_preserves_results_and_bounds_dirs(spark, tmp_path):
     # dirs bounded: ≤ compact interval + a couple of snapshots, not #epochs
     man = eng.cat._manifest("frontier_log", eng.cat.current_version("frontier_log"))
     assert len(man["data_dirs"]) <= eng.cfg.compact_log_every + 2
+
+
+def test_all_knobs_combined_exact(spark, tmp_path):
+    """Feature-interaction gate: bucketed seen store + cuckoo prefilter +
+    bucketed corpus + compressed bodies + priority weights + salting +
+    log compaction + vacuum + mid-run kill/resume — ALL at once, still
+    exactly equal to the oracle replay."""
+    from newsfeeds_crawler_spark.synth.tables import corpus_df_compressed
+
+    corpus = synthesize(CorpusSpec(n_feeds=6, items_per_feed=6, n_hosts=5))
+    w = dict(depth_weight=2000.0, recency_weight=1e-6)
+    oracle = simulate(corpus, **w)
+
+    def mk(max_epochs=10_000):
+        cfg = CrawlConfig(
+            workers=corpus.spec.workers,
+            tick_ms=corpus.spec.tick_ms,
+            seen_buckets=8,
+            corpus_buckets=8,
+            seen_filter="cuckoo",
+            bloom_expected_per_bucket=1000,
+            salt_partitions=2,
+            compact_log_every=3,
+            vacuum_every=4,
+            max_epochs=max_epochs,
+            **w,
+        )
+        return CrawlEngine(
+            spark,
+            str(tmp_path / "kitchen"),
+            corpus_df_compressed(spark, corpus).cache(),
+            hosts_df(spark, corpus),
+            seeds_df(spark, corpus),
+            preseen_df(spark, corpus),
+            cfg,
+        )
+
+    mk(max_epochs=3).run()   # killed mid-crawl
+    eng = mk()
+    eng.run()                # resumes from the epoch manifest
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in eng.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order
+    got_seen = {r["url_canon"]: r["pub_ts"] for r in eng.articles_final().collect()}
+    assert got_seen == oracle.seen
+    rows = {
+        r["url_canon"]: r["caption"]
+        for r in eng.articles_final().filter(F.col("action") != "preseen").collect()
+    }
+    for u, o in oracle.articles.items():
+        assert rows[u] == o["caption"], u
