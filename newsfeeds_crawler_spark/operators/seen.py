@@ -5,12 +5,24 @@ index (MysqlFeedArticleDao.scala:46-56, issued per item from
 FeedManager.scala:93-95). Re-expressed as:
 
 - the articles log (append-only) with a latest-per-key view — the store;
-- ``probe``: one bulk left join candidates ⟕ store ON url_canon, optionally
-  prefiltered by a partitioned Bloom filter so that at 10^10 keys only
-  possible-hits shuffle into the join (definitely-new rows skip it via the
-  broadcast filter test — the left_anti fast path).
+- ``probe``: the scale shape is **inner join with broadcast(candidates)
+  pushed into the store scan ∪ broadcast-hits left join** — the store (the
+  10^10-key side) is scanned once and NEVER shuffled or broadcast:
 
-The Bloom build/probe lives in operators/bloom.py.
+      hits   = store ⋈ broadcast(distinct candidate keys)   (≤ |candidates|)
+      probed = candidates ⟕ broadcast(hits)
+
+  A naive ``candidates ⟕ store`` cannot broadcast the left (stream) side of
+  a left join, so Spark either broadcasts the store (impossible at scale)
+  or sort-merges it — O(|seen|) shuffle per epoch. Same rewrite as the
+  fetch join (operators/fetchparse.py:66-126).
+- optional partitioned Bloom prefilter: candidates that fail the
+  membership test bypass the store entirely (definitely new, no false
+  negatives) — at steady state most candidates take this path.
+
+The Bloom build/probe lives in operators/bloom.py; the driver additionally
+prunes the bucketed store scan to the candidates' touched buckets
+(Catalog.read(buckets=...)), mirroring the fetch join's corpus pruning.
 """
 
 from __future__ import annotations
@@ -53,13 +65,22 @@ def probe(
     )
     if bloom is not None:
         maybe, new = bloom.split(candidates, hash_key)
-        probed = maybe.join(store, maybe[key] == F.col("__sk"), "left")
-        probed = probed.withColumn("__seen", F.col("__sk").isNotNull()).drop("__sk")
+    else:
+        maybe, new = candidates, None
+    # store side: inner join with the (small) candidate key set broadcast —
+    # the store streams through a BroadcastHashJoin probe, no Exchange.
+    # distinct() so duplicate candidate keys (same URL in two feeds) cannot
+    # fan hits out; the store itself is one row per key by construction.
+    cand_keys = maybe.select(F.col(key).alias("__sk")).distinct()
+    hits = store.join(F.broadcast(cand_keys), on="__sk", how="inner")
+    # candidate side: hits ≤ |candidates|, so the left join broadcasts it
+    probed = maybe.join(F.broadcast(hits), maybe[key] == F.col("__sk"), "left")
+    probed = probed.withColumn("__seen", F.col("__sk").isNotNull()).drop("__sk")
+    if new is not None:
         new = (
             new.withColumn("__seen", F.lit(False))
             .withColumn("stored_id", F.lit(None).cast("long"))
             .withColumn("stored_pub_ts", F.lit(None).cast("timestamp"))
         )
-        return probed.unionByName(new)
-    probed = candidates.join(store, candidates[key] == F.col("__sk"), "left")
-    return probed.withColumn("__seen", F.col("__sk").isNotNull()).drop("__sk")
+        probed = probed.unionByName(new)
+    return probed

@@ -415,8 +415,24 @@ class CrawlEngine:
         )
         which = "bloom" if cfg.use_bloom else cfg.seen_filter
         bloom = self._load_filter(which, v, store_latest)
+        # bucketed store: prune the probe scan to the candidates' touched
+        # buckets (mirror of the fetch join's corpus pruning) — the probe
+        # then reads ≤ |items| bucket dirs, never the whole store
+        probe_store = store_latest
+        if cfg.seen_buckets > 0:
+            touched = {
+                r["b"]
+                for r in items.select(
+                    F.pmod(F.col("item_hash"), F.lit(cfg.seen_buckets))
+                    .cast("int")
+                    .alias("b")
+                )
+                .distinct()
+                .collect()
+            }
+            probe_store = cat.read("seen_urls", v["seen_urls"], buckets=touched)
         probed_plan = probe(
-            items, store_latest, hash_key="item_hash", bloom=bloom
+            items, probe_store, hash_key="item_hash", bloom=bloom
         ).withColumn(
             "fetch_flag",
             should_fetch(
@@ -470,12 +486,36 @@ class CrawlEngine:
         )
 
         # ---- article branch: upsert rows (decode already materialized) ---
-        prior = store_latest.select(
+        # same no-store-shuffle shape as the probe: prune the store scan to
+        # the decoded keys' buckets, inner-join it against the broadcast
+        # (tiny, ≤ workers rows) decoded key set, broadcast the hits back
+        prior_store = store_latest
+        if cfg.seen_buckets > 0:
+            tb = {
+                r["b"]
+                for r in decoded.select(
+                    F.pmod(F.col("url_hash"), F.lit(cfg.seen_buckets))
+                    .cast("int")
+                    .alias("b")
+                )
+                .distinct()
+                .collect()
+            }
+            prior_store = cat.read("seen_urls", v["seen_urls"], buckets=tb)
+        prior = prior_store.select(
             F.col("url_canon").alias("__pk"),
             F.col("article_id").alias("prior_id"),
+        ).join(
+            F.broadcast(
+                decoded.select(F.col("url_canon").alias("__pk")).distinct()
+            ),
+            on="__pk",
+            how="inner",
         )
         article_rows = (
-            decoded.join(prior, decoded["url_canon"] == F.col("__pk"), "left")
+            decoded.join(
+                F.broadcast(prior), decoded["url_canon"] == F.col("__pk"), "left"
+            )
             .select(
                 "url_canon",
                 "url_hash",
@@ -687,7 +727,9 @@ class CrawlEngine:
                     base_version=v["seen_urls"],
                 )
             seen_new = store_latest.join(
-                seen_upserts.select("url_canon"), "url_canon", "left_anti"
+                F.broadcast(seen_upserts.select("url_canon")),
+                "url_canon",
+                "left_anti",
             ).unionByName(seen_upserts)
             return cat.write(
                 "seen_urls",

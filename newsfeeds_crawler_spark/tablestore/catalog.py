@@ -37,6 +37,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 class Catalog:
@@ -72,6 +73,22 @@ class Catalog:
 
     def exists(self, name: str) -> bool:
         return self.current_version(name) > 0
+
+    @staticmethod
+    def _has_parquet(path: str) -> bool:
+        """True iff ``path`` contains at least one parquet data file.
+
+        A ``partitionBy`` write of a 0-row DataFrame emits only ``_SUCCESS``
+        (no partition dirs, no files); referencing that dir in a manifest
+        would make ``read`` raise UNABLE_TO_INFER_SCHEMA. Callers use this
+        to commit an empty ``data_dirs`` list instead — ``read`` then
+        reconstructs the empty table from the schema stored in the manifest
+        meta. An empty table is a legal state (ref: a fresh ``article``
+        table, mysql-create-db.sql:7-14)."""
+        for root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def _commit(self, name: str, data_dirs: list[str], meta: dict | None) -> int:
         snapdir = self._snapdir(name)
@@ -130,20 +147,50 @@ class Catalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out)
-        dirs = [data_rel]
+        # a partitioned write of 0 rows leaves no readable files — commit
+        # an empty dir list and rely on the schema stored in meta
+        dirs = [data_rel] if (not partition_by or self._has_parquet(out)) else []
         if mode == "append" and self.exists(name):
             base = self.current_version(name) if base_version is None else base_version
             if base > 0:
                 dirs = self._manifest(name, base)["data_dirs"] + dirs
-        return self._commit(name, dirs, meta)
+        m = dict(meta or {})
+        m.setdefault("schema_json", df.schema.json())
+        return self._commit(name, dirs, m)
 
     # -------------------------------------------------------------- read
 
-    def read(self, name: str, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        name: str,
+        version: int | None = None,
+        buckets: set[int] | None = None,
+    ) -> DataFrame:
+        """Read a snapshot. ``buckets`` (bucketed tables only) prunes the
+        scan to those bucket dirs — the probe-side partition pruning that
+        keeps per-epoch seen-store I/O ∝ touched buckets, mirroring the
+        fetch join's corpus pruning (operators/fetchparse.py:88-99)."""
         v = self.current_version(name) if version is None else version
         if v <= 0:
             raise FileNotFoundError(f"table {name!r} has no committed snapshot")
-        dirs = self._manifest(name, v)["data_dirs"]
+        man = self._manifest(name, v)
+        dirs = man["data_dirs"]
+        if buckets is not None:
+            if not man["meta"].get("num_buckets"):
+                raise ValueError(f"table {name!r} is not bucketed")
+            dirs = [d for d in dirs if self._bucket_of(d) in buckets]
+        if not dirs:
+            # empty snapshot (e.g. a fresh bucketed seen store before the
+            # first crawl tick): reconstruct the typed empty table from the
+            # schema persisted at write time
+            schema_json = man["meta"].get("schema_json")
+            if schema_json is None:
+                raise FileNotFoundError(
+                    f"table {name!r} v{v} is empty and its manifest carries "
+                    "no schema (written by a pre-schema version?)"
+                )
+            schema = StructType.fromJson(json.loads(schema_json))
+            return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self._tdir(name), d) for d in dirs]
         return self.spark.read.parquet(*paths)
 
@@ -220,6 +267,10 @@ class Catalog:
         dirs = self._write_bucket_dirs(name, df, key, num_buckets)
         m = dict(meta or {})
         m.update({"bucketed_key": key, "num_buckets": num_buckets})
+        # empty bucketed writes commit zero __bucket= dirs; the schema here
+        # lets read() round-trip them (the __bucket partition column is not
+        # part of the read-back schema, so the input schema is exact)
+        m.setdefault("schema_json", df.schema.json())
         return self._commit(name, dirs, m)
 
     def merge_bucketed(
@@ -252,12 +303,13 @@ class Catalog:
                 *[os.path.join(self._tdir(name), d) for d in touched_old]
             )
             merged = target.join(
-                source.select(on), on=on, how="left_anti"
+                F.broadcast(source.select(on)), on=on, how="left_anti"
             ).unionByName(src.select(*target.columns))
         else:
             merged = src
         new_dirs = self._write_bucket_dirs(name, merged, key, B)
         m = dict(man["meta"])
+        m.setdefault("schema_json", merged.schema.json())
         return self._commit(name, sorted(
             untouched + new_dirs, key=self._bucket_of
         ), m)

@@ -192,3 +192,67 @@ def test_bucketed_table_probe_join_shuffles_one_side(spark, tmp_path):
         out.orderBy("url_hash").collect() == want.orderBy("url_hash").collect()
     )
     spark.sql("DROP TABLE seen_bucketed_test")
+
+
+def test_engine_seen_probe_never_shuffles_the_store(spark, tmp_path):
+    """J2 scale shape: the in-engine seen probe must plan the store (the
+    10^10-key side) with NO shuffle and NO broadcast-of-store — the store
+    streams through BroadcastHashJoin probes of the (small) candidate key
+    set. The only allowed Exchange is the candidates' distinct()."""
+    from newsfeeds_crawler_spark.operators.seen import probe
+
+    store_path = str(tmp_path / "seen_store")
+    spark.range(0, 50_000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url_canon"),
+        F.col("id").alias("url_hash"),
+        F.col("id").alias("article_id"),
+        F.lit(None).cast("timestamp").alias("pub_ts"),
+    ).write.parquet(store_path)
+    store = spark.read.parquet(store_path)
+    cands = spark.range(0, 300, 7).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url_canon"),
+        F.col("id").alias("url_hash"),
+    )
+    out = probe(cands, store)
+    plan = sparkplan(out)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    # ≤ 1 hash Exchange total (the candidate distinct) ⇒ the store side
+    # cannot have been shuffled
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
+    # value-correctness vs the naive left join
+    naive = cands.join(
+        store.select(
+            F.col("url_canon").alias("__sk"),
+            F.col("article_id").alias("stored_id"),
+            F.col("pub_ts").alias("stored_pub_ts"),
+        ),
+        cands["url_canon"] == F.col("__sk"),
+        "left",
+    ).withColumn("__seen", F.col("__sk").isNotNull()).drop("__sk")
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in naive.collect()}
+    assert got == want
+
+
+def test_catalog_bucket_pruned_read(spark, tmp_path):
+    """Catalog.read(buckets=...) must read ONLY the requested bucket dirs."""
+    from newsfeeds_crawler_spark.tablestore import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    df = spark.range(0, 1_000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url_canon"),
+        F.col("id").alias("url_hash"),
+        F.col("id").alias("article_id"),
+        F.lit(None).cast("timestamp").alias("pub_ts"),
+    )
+    cat.write_bucketed("seen", df, key="url_hash", num_buckets=16)
+    pruned = cat.read("seen", buckets={3, 7})
+    # only rows whose pmod(url_hash,16) ∈ {3,7}
+    got = {r["url_hash"] for r in pruned.collect()}
+    assert got == {i for i in range(1_000) if i % 16 in (3, 7)}
+    full = cat.read("seen")
+    assert full.count() == 1_000

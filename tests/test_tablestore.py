@@ -147,3 +147,46 @@ def test_bucketed_merge_replay_is_idempotent(spark, tmp_path):
     got = cat.read("seen", v3)
     assert got.count() == 100
     assert got.filter("url_canon = 'u5'").first()["article_id"] == 42
+
+
+def test_empty_bucketed_table_roundtrips(spark, tmp_path):
+    """An empty bucketed snapshot must be readable and mergeable — it is the
+    tick-0 state of every crawl with a fresh preseen store (ref analog: an
+    empty `article` table is a valid MySQL state, mysql-create-db.sql:7-14).
+    Regression test for the round-2 UNABLE_TO_INFER_SCHEMA crash."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path / "cat3"))
+    schema = "url_canon string, url_hash long, article_id long, pub_ts timestamp"
+    empty = spark.createDataFrame([], schema)
+    v1 = cat.write_bucketed("seen", empty, key="url_hash", num_buckets=16)
+    assert cat._manifest("seen", v1)["data_dirs"] == []
+
+    got = cat.read("seen")
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == [
+        "url_canon", "url_hash", "article_id", "pub_ts",
+    ]
+
+    # merge into the empty table, then read back
+    ups = spark.createDataFrame([("u5", 5, 42, None)], schema)
+    v2 = cat.merge_bucketed("seen", ups, on="url_canon")
+    got2 = cat.read("seen", v2)
+    assert got2.count() == 1
+    assert got2.first()["article_id"] == 42
+
+    # merging an EMPTY source into the (still mostly empty) table also works
+    v3 = cat.merge_bucketed("seen", spark.createDataFrame([], schema), on="url_canon")
+    assert cat.read("seen", v3).count() == 1
+
+
+def test_empty_partitioned_write_roundtrips(spark, tmp_path):
+    """write(partition_by=...) of a 0-row frame commits an empty snapshot
+    that read() reconstructs from the stored schema."""
+    cat = Catalog(spark, str(tmp_path / "cat4"))
+    empty = spark.createDataFrame([], "k int, part string")
+    v = cat.write("t", empty, partition_by=["part"])
+    assert cat._manifest("t", v)["data_dirs"] == []
+    got = cat.read("t")
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["k", "part"]
