@@ -79,6 +79,13 @@ class CrawlConfig:
     # merge rewrites ONLY the buckets touched by that epoch's upserts
     # (Catalog.merge_bucketed) instead of copying the whole store
     seen_buckets: int = 0
+    # > 0: keep the frontier as a catalog table bucketed on xxhash64(host)
+    # — the per-epoch state transition (processed rows leave, new tasks
+    # arrive) becomes a touched-bucket merge, so frontier WRITE I/O is
+    # ∝ the tick's active hosts, never O(|pending|). (Reference analog:
+    # tasks leave HttpManager.taskList in place, HttpManager.scala:76-94 —
+    # the list is never rebuilt.)
+    frontier_buckets: int = 0
     # liveness guard (ref FeedManager.scala:31-33,67-69 ReceiveTimeout =
     # maxWaitingTimeBeforeStop 60s): after this many CONSECUTIVE epochs
     # with zero admissions, quarantine the stuck pending rows into
@@ -183,6 +190,7 @@ class CrawlEngine:
             F.lit(None).cast("timestamp").alias("parsed_pub_ts"),
             F.lit(None).cast("timestamp").alias("last_pub_ts"),
             F.lit(None).cast("int").alias("done_epoch"),
+            F.lit(0).cast("int").alias("pending_items"),
         )
         arts0 = self._preseen_src.select(
             "url_canon",
@@ -210,8 +218,15 @@ class CrawlEngine:
             )
         else:
             seen_v = self.cat.write("seen_urls", seen0)
+        if cfg.frontier_buckets > 0:
+            f_v = self.cat.write_bucketed(
+                "frontier", f0, key="xxhash64(host)",
+                num_buckets=cfg.frontier_buckets,
+            )
+        else:
+            f_v = self.cat.write("frontier", f0)
         versions = {
-            "frontier": self.cat.write("frontier", f0),
+            "frontier": f_v,
             "frontier_log": self.cat.write(
                 "frontier_log", empty_frontier_log, mode="append"
             ),
@@ -307,7 +322,12 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- tick
 
-    def _run_tick(self, tick: int, v: dict[str, int]):
+    def _run_tick(self, tick: int, v: dict[str, int], pending_counts: dict[int, int]):
+        """One micro-epoch. ``pending_counts`` (host_bucket → #pending) is
+        the driver-maintained running count — exact by induction
+        (init = seed counts; ′ = counts − processed + enqueued) — so stall
+        metrics and convergence tests never scan the pending frontier.
+        Returns (new_versions, summary, new_pending_counts)."""
         cfg, cat = self.cfg, self.cat
         frontier = cat.read("frontier", v["frontier"])
         pending = frontier.filter(F.col("state") == "pending")
@@ -348,10 +368,11 @@ class CrawlEngine:
 
         n_admitted, n_denied = gate_counts()
         if n_admitted == 0 and n_denied == 0:
-            if pending.isEmpty():
-                return None  # A3: global convergence (ProjectManager.scala:37-51)
-            # every pending host is politeness-blocked: a pure stall tick
-            n_stall = pending.count()
+            # counts are exact, so convergence (A3) and the stall total need
+            # no pending scan (ProjectManager.scala:37-51)
+            n_stall = sum(pending_counts.values())
+            if n_stall == 0:
+                return None
             mrow = self.spark.createDataFrame(
                 [(tick, -1, 0, n_stall, 0, 0, 0)], S.METRICS_SCHEMA
             )
@@ -359,7 +380,11 @@ class CrawlEngine:
             v["metrics"] = cat.write(
                 "metrics", mrow, mode="append", base_version=v["metrics"]
             )
-            return v, {"epoch": tick, "admitted": 0, "stalls": n_stall}
+            return (
+                v,
+                {"epoch": tick, "admitted": 0, "stalls": n_stall},
+                pending_counts,
+            )
 
         # probe store: one row per URL, maintained incrementally below —
         # never a latest-per-key window over the whole articles log
@@ -578,13 +603,16 @@ class CrawlEngine:
                 )
             )
         )
+        # ``host`` rides along so the bucketed-frontier merge can compute
+        # the deletes' touched buckets (bucket key = xxhash64(host))
+        pkey = [*key, "host"]
         processed = (
-            feeds_f.select(*key)
-            .unionByName(arts.select(*key))
-            .unionByName(denied.select(*key))
+            feeds_f.select(*pkey)
+            .unionByName(arts.select(*pkey))
+            .unionByName(denied.select(*pkey))
         )
         frontier_new = (
-            frontier.join(processed, on=key, how="left_anti")
+            frontier.join(processed.select(*key), on=key, how="left_anti")
             .select(*base)
             .unionByName(new_tasks)
         )
@@ -626,15 +654,32 @@ class CrawlEngine:
             F.coalesce("f_parsed_pub_ts", "parsed_pub_ts").alias("parsed_pub_ts"),
             "last_pub_ts",
             "done_epoch",
+            "pending_items",
         )
-        pend_cnt = frontier_new.filter(
-            (F.col("state") == "pending") & (F.col("kind") == "article")
-        ).groupBy("feed_canon").agg(F.count(F.lit(1)).alias("__np"))
-        completing = (F.col("state") == "crawling") & (
-            F.coalesce(F.col("__np"), F.lit(0)) == 0
+        # A1 countdown, incremental (parsedItemsMap.size analog): per-feed
+        # pending count = prior count + enqueued − processed articles — only
+        # this tick's small frames aggregate; the pending frontier is NEVER
+        # re-scanned per feed
+        enq_cnt = new_tasks.groupBy("feed_canon").agg(
+            F.count(F.lit(1)).alias("__enq")
         )
+        done_cnt = (
+            arts.select("feed_canon")
+            .unionByName(
+                denied.filter(F.col("kind") == "article").select("feed_canon")
+            )
+            .groupBy("feed_canon")
+            .agg(F.count(F.lit(1)).alias("__done"))
+        )
+        np_col = (
+            F.coalesce(F.col("pending_items"), F.lit(0))
+            + F.coalesce(F.col("__enq"), F.lit(0))
+            - F.coalesce(F.col("__done"), F.lit(0))
+        )
+        completing = (F.col("state") == "crawling") & (np_col == 0)
         feeds_new = (
-            feeds_mid.join(pend_cnt, "feed_canon", "left")
+            feeds_mid.join(F.broadcast(enq_cnt), "feed_canon", "left")
+            .join(F.broadcast(done_cnt), "feed_canon", "left")
             .select(
                 "feed_canon",
                 "url",
@@ -650,13 +695,16 @@ class CrawlEngine:
                 F.when(completing, F.lit(tick).cast("int"))
                 .otherwise(F.col("done_epoch"))
                 .alias("done_epoch"),
+                np_col.cast("int").alias("pending_items"),
             )
         )
 
         # ---- per-bucket metrics (north_star observability) ----------------
-        # single union-with-tag + one hash aggregate: ONE shuffle instead of
-        # five groupBys full-outer-joined (4 extra shuffles) — partial
-        # map-side aggregation still applies per tag
+        # incremental: politeness_stalls derives from the maintained
+        # per-bucket pending counts (pending' = pending − processed +
+        # enqueued) instead of re-scanning the full pending frontier — only
+        # this tick's small activity frames aggregate (one union + one hash
+        # aggregate, collected: ≤ num_host_buckets rows)
         B = cfg.num_host_buckets
 
         def tag(df, t, col="host"):
@@ -666,8 +714,7 @@ class CrawlEngine:
             )
 
         tagged = (
-            tag(pending, "p")
-            .unionByName(tag(admitted, "f"))
+            tag(admitted, "f")
             .unionByName(tag(probed.filter(F.col("__seen")), "d", col="item_host"))
             .unionByName(tag(new_tasks, "e"))
             .unionByName(tag(denied, "r"))
@@ -676,21 +723,34 @@ class CrawlEngine:
         def m(t):
             return F.sum(F.when(F.col("__m") == t, 1).otherwise(0))
 
-        metrics_new = tagged.groupBy("host_bucket").agg(
-            m("f").cast("long").alias("urls_fetched"),
-            (m("p") - m("f") - m("r")).cast("long").alias("politeness_stalls"),
-            m("d").cast("long").alias("dedup_hits"),
-            m("e").cast("long").alias("enqueued"),
-            m("r").cast("long").alias("robots_denied"),
-        ).select(
-            F.lit(tick).cast("int").alias("epoch"),
-            "host_bucket",
-            "urls_fetched",
-            "politeness_stalls",
-            "dedup_hits",
-            "enqueued",
-            "robots_denied",
-        )
+        act = {
+            r["host_bucket"]: r
+            for r in tagged.groupBy("host_bucket")
+            .agg(
+                m("f").alias("f"),
+                m("d").alias("d"),
+                m("e").alias("e"),
+                m("r").alias("r"),
+            )
+            .collect()
+        }
+        new_counts = dict(pending_counts)
+        metric_rows = []
+        for b in sorted(
+            set(act) | {b for b, n in pending_counts.items() if n > 0}
+        ):
+            a = act.get(b)
+            f_, d_, e_, r_ = (
+                (a["f"], a["d"], a["e"], a["r"]) if a is not None else (0, 0, 0, 0)
+            )
+            p = pending_counts.get(b, 0)
+            metric_rows.append((tick, b, f_, p - f_ - r_, d_, e_, r_))
+            nb = p - f_ - r_ + e_
+            if nb:
+                new_counts[b] = nb
+            else:
+                new_counts.pop(b, None)
+        metrics_new = self.spark.createDataFrame(metric_rows, S.METRICS_SCHEMA)
 
         # ---- decode-error quarantine (S8) ---------------------------------
         errors_new = decoded.filter(F.col("decode_error").isNotNull()).select(
@@ -742,10 +802,22 @@ class CrawlEngine:
         # scheduling overhead at small epochs, tiny-file bloat at any
         # scale). Dimension tables get few files; row tables get one file
         # per core. Tune with num_host_buckets on a real cluster.
+        def w_frontier():
+            if cfg.frontier_buckets > 0:
+                # touched-bucket state transition: write ∝ active hosts
+                return cat.merge_bucketed(
+                    "frontier",
+                    new_tasks,
+                    on=key,
+                    deletes=processed,
+                    base_version=v["frontier"],
+                )
+            return cat.write("frontier", frontier_new.coalesce(big))
+
         P = self.spark.sparkContext.defaultParallelism
         small, big = min(8, P), P
         jobs = {
-            "frontier": lambda: cat.write("frontier", frontier_new.coalesce(big)),
+            "frontier": w_frontier,
             "frontier_log": lambda: cat.write(
                 "frontier_log", log_rows.coalesce(small), mode="append",
                 base_version=v["frontier_log"],
@@ -781,7 +853,7 @@ class CrawlEngine:
             "admitted": n_admitted,
             "robots_denied": n_denied,
         }
-        return nv, summary
+        return nv, summary, new_counts
 
     # --------------------------------------------------- liveness guard
 
@@ -831,11 +903,17 @@ class CrawlEngine:
             "parsed_pub_ts",
             "last_pub_ts",
             "done_epoch",
+            "pending_items",
         )
         nv = dict(v)
-        nv["frontier"] = cat.write(
-            "frontier", frontier.filter(F.col("state") != "pending")
-        )
+        remaining = frontier.filter(F.col("state") != "pending")
+        if self.cfg.frontier_buckets > 0:
+            nv["frontier"] = cat.write_bucketed(
+                "frontier", remaining, key="xxhash64(host)",
+                num_buckets=self.cfg.frontier_buckets,
+            )
+        else:
+            nv["frontier"] = cat.write("frontier", remaining)
         nv["frontier_log"] = cat.write(
             "frontier_log", log_rows, mode="append",
             base_version=v["frontier_log"],
@@ -856,13 +934,31 @@ class CrawlEngine:
             last = 0
         else:
             versions = cat.epoch_tables(last)
+        # per-bucket pending counts: resume from the epoch manifest meta;
+        # a workdir from before the counts existed recomputes them ONCE
+        emeta = cat.epoch_meta(last)
+        if "pending_counts" in emeta:
+            counts = {int(b): n for b, n in emeta["pending_counts"].items()}
+        else:
+            counts = {
+                r["b"]: r["n"]
+                for r in cat.read("frontier", versions["frontier"])
+                .filter(F.col("state") == "pending")
+                .groupBy(
+                    host_bucket(F.col("host"), cfg.num_host_buckets).alias("b")
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
         tick = last
         stalled_for = 0
         while tick < cfg.max_epochs:
-            result = self._run_tick(tick, versions)
+            result = self._run_tick(tick, versions, counts)
             if result is None:
                 break
-            versions, meta = result
+            versions, meta, counts = result
+            meta = dict(meta)
+            meta["pending_counts"] = {str(b): n for b, n in counts.items()}
             cat.commit_epoch(tick + 1, versions, meta=meta)
             if progress:
                 print(f"[crawl] {meta}")

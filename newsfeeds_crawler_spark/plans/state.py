@@ -65,6 +65,10 @@ FEEDS_SCHEMA = StructType(
         StructField("parsed_pub_ts", TimestampType(), True),  # A2 watermark value
         StructField("last_pub_ts", TimestampType(), True),    # persisted watermark
         StructField("done_epoch", IntegerType(), True),
+        # A1 countdown state (parsedItemsMap.size analog, FeedManager.scala:37,
+        # 153-162): maintained incrementally (+enqueued −processed per epoch)
+        # so feed completion never scans the whole pending frontier
+        StructField("pending_items", IntegerType(), True),
     ]
 )
 

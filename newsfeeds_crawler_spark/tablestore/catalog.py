@@ -232,14 +232,17 @@ class Catalog:
 
     def _write_bucket_dirs(self, name: str, df: DataFrame, key: str,
                            num_buckets: int) -> list[str]:
-        """Write df partitioned by pmod(key, B); return bucket-level rel dirs."""
+        """Write df partitioned by pmod(key, B); return bucket-level rel dirs.
+
+        ``key`` is a SQL expression (a bare column name like ``url_hash``,
+        or e.g. ``xxhash64(host)`` for tables bucketed on a derived key)."""
         commit_id = uuid.uuid4().hex
         data_rel = os.path.join("data", commit_id)
         out = os.path.join(self._tdir(name), data_rel)
         (
             df.withColumn(
                 "__bucket",
-                F.pmod(F.col(key), F.lit(num_buckets)).cast("int"),
+                F.pmod(F.expr(key), F.lit(num_buckets)).cast("int"),
             )
             .repartition(num_buckets, "__bucket")
             .write.mode("overwrite")
@@ -277,24 +280,39 @@ class Catalog:
         self,
         name: str,
         source: DataFrame,
-        on: str,
+        on: str | list[str],
         base_version: int | None = None,
+        deletes: DataFrame | None = None,
     ) -> int:
         """Upsert ``source`` into a bucketed table, rewriting ONLY the
         buckets the source keys hash into (source wins on ``on`` collision).
 
+        ``on`` may be a composite key (list of columns). ``deletes``, if
+        given, removes its ``on``-key rows from the table in the same
+        commit (it must carry the columns of the table's bucket-key
+        expression so its touched buckets can be computed) — this is the
+        frontier's per-epoch state transition: processed rows leave, new
+        tasks arrive, and only the buckets either set hashes into are
+        rewritten. Per-epoch I/O ∝ touched buckets, never O(|table|).
+
         ``base_version``: chain from the epoch-pinned version (crash-safe
         idempotent replay, same contract as append-mode :meth:`write`).
         """
+        on_cols = [on] if isinstance(on, str) else list(on)
         base = self.current_version(name) if base_version is None else base_version
         man = self._manifest(name, base)
         key = man["meta"]["bucketed_key"]
         B = man["meta"]["num_buckets"]
-        src = source.withColumn(
-            "__bucket", F.pmod(F.col(key), F.lit(B)).cast("int")
-        )
-        touched = {r["__bucket"] for r in src.select("__bucket").distinct().collect()}
-        src = src.drop("__bucket")
+
+        def bucket_col(df: DataFrame) -> DataFrame:
+            return df.select(
+                F.pmod(F.expr(key), F.lit(B)).cast("int").alias("__bucket")
+            )
+
+        touch_src = bucket_col(source)
+        if deletes is not None:
+            touch_src = touch_src.unionByName(bucket_col(deletes))
+        touched = {r["__bucket"] for r in touch_src.distinct().collect()}
         old_dirs = man["data_dirs"]
         touched_old = [d for d in old_dirs if self._bucket_of(d) in touched]
         untouched = [d for d in old_dirs if self._bucket_of(d) not in touched]
@@ -303,10 +321,16 @@ class Catalog:
                 *[os.path.join(self._tdir(name), d) for d in touched_old]
             )
             merged = target.join(
-                F.broadcast(source.select(on)), on=on, how="left_anti"
-            ).unionByName(src.select(*target.columns))
+                F.broadcast(source.select(*on_cols)), on=on_cols, how="left_anti"
+            )
+            if deletes is not None:
+                merged = merged.join(
+                    F.broadcast(deletes.select(*on_cols)), on=on_cols,
+                    how="left_anti",
+                )
+            merged = merged.unionByName(source.select(*target.columns))
         else:
-            merged = src
+            merged = source
         new_dirs = self._write_bucket_dirs(name, merged, key, B)
         m = dict(man["meta"])
         m.setdefault("schema_json", merged.schema.json())
@@ -399,6 +423,10 @@ class Catalog:
     def epoch_tables(self, epoch: int) -> dict[str, int]:
         with open(os.path.join(self._epochdir(), f"e{epoch}.json")) as f:
             return json.load(f)["tables"]
+
+    def epoch_meta(self, epoch: int) -> dict:
+        with open(os.path.join(self._epochdir(), f"e{epoch}.json")) as f:
+            return json.load(f).get("meta", {})
 
     def read_at_epoch(self, name: str, epoch: int) -> DataFrame:
         return self.read(name, self.epoch_tables(epoch)[name])

@@ -437,3 +437,46 @@ def test_all_knobs_combined_exact(spark, tmp_path):
     }
     for u, o in oracle.articles.items():
         assert rows[u] == o["caption"], u
+
+
+def test_bucketed_frontier_same_semantics_and_touched_buckets(spark, tmp_path):
+    """frontier as a host-bucketed catalog table: the per-epoch state
+    transition is a touched-bucket merge (write I/O ∝ active hosts, never
+    O(|pending|)) and must not change crawl order, seen set, or resume."""
+    import json
+    import os
+
+    corpus = synthesize(CorpusSpec(n_feeds=5, items_per_feed=6, n_hosts=4))
+    oracle = simulate(corpus)
+    wd = str(tmp_path / "fb")
+    eng = _mk_engine(spark, corpus, wd, frontier_buckets=16, max_epochs=3)
+    eng.run()
+    resumed = _mk_engine(spark, corpus, wd, frontier_buckets=16)
+    resumed.run()
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in resumed.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order
+    got_seen = {
+        r["url_canon"]: r["pub_ts"] for r in resumed.articles_final().collect()
+    }
+    assert got_seen == oracle.seen
+
+    # write I/O ∝ touched buckets: at least one post-init frontier snapshot
+    # carries over bucket dirs from its predecessor instead of rewriting all
+    snapdir = os.path.join(wd, "frontier", "_snapshots")
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(snapdir) if f.startswith("v")
+    )
+    assert len(versions) >= 3
+    carried_any = False
+    for v1, v2 in zip(versions, versions[1:]):
+        with open(os.path.join(snapdir, f"v{v1}.json")) as f:
+            d1 = set(json.load(f)["data_dirs"])
+        with open(os.path.join(snapdir, f"v{v2}.json")) as f:
+            d2 = set(json.load(f)["data_dirs"])
+        if d1 & d2:
+            carried_any = True
+            assert len(d1 & d2) >= 1
+    assert carried_any, "no frontier snapshot carried over any bucket dir"

@@ -190,3 +190,36 @@ def test_empty_partitioned_write_roundtrips(spark, tmp_path):
     got = cat.read("t")
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == ["k", "part"]
+
+
+def test_bucketed_merge_composite_key_deletes_and_expr_bucket(spark, tmp_path):
+    """merge_bucketed with a composite ON key, a deletes frame, and a
+    derived bucket-key expression (xxhash64(host)) — the frontier's
+    per-epoch state transition shape."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path / "cat5"))
+    schema = "url_canon string, e_epoch int, host string, state string"
+    base = spark.createDataFrame(
+        [(f"u{i}", 0, f"h{i % 5}", "pending") for i in range(100)], schema
+    )
+    v1 = cat.write_bucketed(
+        "frontier", base, key="xxhash64(host)", num_buckets=8
+    )
+    d1 = set(cat._manifest("frontier", v1)["data_dirs"])
+
+    processed = spark.createDataFrame(
+        [("u0", 0, "h0", "x"), ("u5", 0, "h0", "x")], schema
+    ).select("url_canon", "e_epoch", "host")
+    new_tasks = spark.createDataFrame(
+        [("uNEW", 1, "h0", "pending")], schema
+    )
+    v2 = cat.merge_bucketed(
+        "frontier", new_tasks, on=["url_canon", "e_epoch"], deletes=processed
+    )
+    got = {r["url_canon"] for r in cat.read("frontier", v2).collect()}
+    assert "u0" not in got and "u5" not in got and "uNEW" in got
+    assert len(got) == 99  # 100 - 2 deleted + 1 new
+    # only h0's bucket was rewritten: the other dirs carried over
+    d2 = set(cat._manifest("frontier", v2)["data_dirs"])
+    assert len(d1 & d2) >= 1
