@@ -28,16 +28,57 @@ def parse_rfc822(s: str) -> Optional[datetime]:
         return None
 
 
+def parse_rfc3339(s: str) -> Optional[datetime]:
+    """Atom timestamps (RFC 3339 / ISO-8601, e.g. 2026-01-02T03:04:05Z)."""
+    try:
+        return _to_naive_utc(datetime.fromisoformat(s.strip()))
+    except (TypeError, ValueError):
+        return None
+
+
+ATOM_NS = "{http://www.w3.org/2005/Atom}"
+
+
+def _parse_atom(root) -> tuple[Optional[datetime], list]:
+    """Atom 1.0: feed ts = <updated> (what ROME surfaces as the published
+    date for Atom feeds); entry link = <link href> preferring
+    rel="alternate"; entry ts = <published> else <updated> — the P4
+    coalesce mapped 1:1 (RomeFeedParser.scala:30-34)."""
+    feed_pub = None
+    fu = root.find(f"{ATOM_NS}updated")
+    if fu is not None and fu.text:
+        feed_pub = parse_rfc3339(fu.text)
+    items: list[tuple[str, Optional[datetime]]] = []
+    for entry in root.findall(f"{ATOM_NS}entry"):
+        href = None
+        for link in entry.findall(f"{ATOM_NS}link"):
+            rel = link.get("rel", "alternate")
+            if rel == "alternate" and (link.get("href") or "").strip():
+                href = link.get("href").strip()
+                break
+        if href is None:
+            continue
+        ts = None
+        for tag in ("published", "updated"):
+            el = entry.find(f"{ATOM_NS}{tag}")
+            if el is not None and el.text:
+                ts = parse_rfc3339(el.text)
+                break
+        items.append((href, ts))
+    return feed_pub, items
+
+
 def parse_feed_py(
     body: Optional[str],
 ) -> Optional[tuple[Optional[datetime], list[tuple[str, Optional[datetime]]]]]:
-    """Parse an RSS 2.0 document.
+    """Parse an RSS 2.0 or Atom 1.0 document (the reference's ROME
+    SyndFeedInput accepts both transparently, RomeFeedParser.scala:20-28).
 
     Returns (feed_pub_ts, [(link, item_pub_ts), ...]) or None on a parse
     failure (the reference kills the feed on parser error,
     FeedManager.scala:80-84). Items without <link> are dropped; item date =
-    <pubDate> else <dc:date>-style fallbacks (the published-else-updated
-    coalesce, P4).
+    <pubDate> else <dc:date>-style fallbacks for RSS, <published> else
+    <updated> for Atom (the published-else-updated coalesce, P4).
     """
     if body is None:
         return None
@@ -45,6 +86,8 @@ def parse_feed_py(
         root = ET.fromstring(body)
     except ET.ParseError:
         return None
+    if root.tag == f"{ATOM_NS}feed":
+        return _parse_atom(root)
     channel = root.find("channel")
     if root.tag != "rss" or channel is None:
         return None

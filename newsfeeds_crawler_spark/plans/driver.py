@@ -66,26 +66,29 @@ class CrawlConfig:
     depth_weight: float = 0.0
     recency_weight: float = 0.0
     # seen-probe prefilter (J2): "none" | "bloom" | "cuckoo" — cuckoo
-    # supports deletion (recrawl-expiry), bloom is cheaper to build
-    seen_filter: str = "none"
+    # supports deletion (recrawl-expiry), bloom is cheaper to build.
+    # Defaults to the scale path (persisted bloom, delta-maintained) —
+    # the equivalence suite proves all of these semantics-preserving.
+    seen_filter: str = "bloom"
     use_bloom: bool = False          # back-compat alias for seen_filter="bloom"
     bloom_fpp: float = 0.01
     bloom_expected_per_bucket: int = 100_000
     # > 0: materialize the corpus hash-bucketed by pmod(xxhash64(url_canon))
     # in the workdir once, then partition-prune every epoch's fetch scan to
-    # the admitted keys' buckets (J5 storage-partitioned shape)
-    corpus_buckets: int = 0
+    # the admitted keys' buckets (J5 storage-partitioned shape); set 0 if
+    # the input corpus is already bucket-partitioned
+    corpus_buckets: int = 16
     # > 0: keep seen_urls as a hash-bucketed catalog table — the per-epoch
     # merge rewrites ONLY the buckets touched by that epoch's upserts
     # (Catalog.merge_bucketed) instead of copying the whole store
-    seen_buckets: int = 0
+    seen_buckets: int = 16
     # > 0: keep the frontier as a catalog table bucketed on xxhash64(host)
     # — the per-epoch state transition (processed rows leave, new tasks
     # arrive) becomes a touched-bucket merge, so frontier WRITE I/O is
     # ∝ the tick's active hosts, never O(|pending|). (Reference analog:
     # tasks leave HttpManager.taskList in place, HttpManager.scala:76-94 —
     # the list is never rebuilt.)
-    frontier_buckets: int = 0
+    frontier_buckets: int = 16
     # liveness guard (ref FeedManager.scala:31-33,67-69 ReceiveTimeout =
     # maxWaitingTimeBeforeStop 60s): after this many CONSECUTIVE epochs
     # with zero admissions, quarantine the stuck pending rows into

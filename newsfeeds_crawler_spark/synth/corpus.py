@@ -62,6 +62,11 @@ class CorpusSpec:
     with_dead_feed: bool = True
     with_unparseable_feed: bool = True
     with_empty_feed: bool = True
+    # fraction of feeds emitted as Atom 1.0 instead of RSS 2.0 (the
+    # reference's ROME parser accepts both, RomeFeedParser.scala:20-28);
+    # chosen per-feed by a crc32 of the canonical URL so existing corpora
+    # (atom_frac=0) are byte-identical
+    atom_frac: float = 0.0
 
 
 @dataclass
@@ -151,6 +156,27 @@ def make_rss(feed_pub_ts: Optional[datetime],
             item += f"<pubDate>{format_datetime(ts)}</pubDate>"
         parts.append(item + "</item>")
     parts.append("</channel></rss>")
+    return "".join(parts)
+
+
+def make_atom(feed_pub_ts: Optional[datetime],
+              items: list[tuple[str, Optional[datetime]]]) -> str:
+    """Atom 1.0 document: entry link = <link href>, date = <published>."""
+
+    def rfc3339(ts: datetime) -> str:
+        return ts.isoformat() + "Z"
+
+    parts = ['<?xml version="1.0" encoding="UTF-8"?>',
+             '<feed xmlns="http://www.w3.org/2005/Atom">',
+             "<title>synth feed</title>"]
+    if feed_pub_ts is not None:
+        parts.append(f"<updated>{rfc3339(feed_pub_ts)}</updated>")
+    for link, ts in items:
+        entry = f'<entry><link rel="alternate" href="{link}"/>'
+        if ts is not None:
+            entry += f"<published>{rfc3339(ts)}</published>"
+        parts.append(entry + "</entry>")
+    parts.append("</feed>")
     return "".join(parts)
 
 
@@ -259,9 +285,14 @@ def synthesize(spec: CorpusSpec | None = None) -> SynthCorpus:
                 article_id += 1
 
         feed_pub = None if f % 4 == 3 else BASE_TS + timedelta(days=f, hours=6)
+        is_atom = (
+            spec.atom_frac > 0
+            and (zlib.crc32(feed_canon.encode()) % 1000) < spec.atom_frac * 1000
+        )
+        body = (make_atom if is_atom else make_rss)(feed_pub, items)
         pages[feed_canon] = Page(
             raw_feed_url, feed_canon, fhost, "feed", 200,
-            make_rss(feed_pub, items), feed_pub_ts=feed_pub, items=items,
+            body, feed_pub_ts=feed_pub, items=items,
         )
 
     return SynthCorpus(spec=spec, pages=pages, seeds=seeds, hosts=hosts, preseen=preseen)

@@ -224,7 +224,10 @@ def test_vacuum_during_run_preserves_results(spark, tmp_path):
 
     corpus = synthesize(CorpusSpec(n_feeds=5, items_per_feed=6, n_hosts=4))
     oracle = simulate(corpus)
-    eng = _mk_engine(spark, corpus, str(tmp_path / "vac"))
+    # frontier_buckets=0 pins the COW layout this test's dir-count bound
+    # assumes (a bucketed frontier legitimately keeps carried-over commit
+    # dirs alive across snapshots)
+    eng = _mk_engine(spark, corpus, str(tmp_path / "vac"), frontier_buckets=0)
     eng.cfg.vacuum_every = 2
     eng.run()
     got = [
@@ -480,3 +483,32 @@ def test_bucketed_frontier_same_semantics_and_touched_buckets(spark, tmp_path):
             carried_any = True
             assert len(d1 & d2) >= 1
     assert carried_any, "no frontier snapshot carried over any bucket dir"
+
+
+def test_mixed_rss_atom_corpus_exact(spark, tmp_path):
+    """Atom feeds flow through the same Arrow parse UDF, probe, and
+    watermark path — crawl order, seen set, and feed watermarks must be
+    exactly the oracle's on a corpus that mixes RSS and Atom."""
+    corpus = synthesize(
+        CorpusSpec(n_feeds=6, items_per_feed=6, n_hosts=5, atom_frac=0.5)
+    )
+    # the mix is genuinely mixed
+    feed_bodies = [
+        p.body for p in corpus.pages.values() if p.kind == "feed" and p.body
+    ]
+    assert any("2005/Atom" in b for b in feed_bodies)
+    assert any("<rss" in b for b in feed_bodies)
+
+    oracle = simulate(corpus)
+    eng = _mk_engine(spark, corpus, str(tmp_path / "atom"))
+    eng.run()
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in eng.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order
+    got_seen = {r["url_canon"]: r["pub_ts"] for r in eng.articles_final().collect()}
+    assert got_seen == oracle.seen
+    got_feeds = {r["feed_canon"]: r["last_pub_ts"] for r in eng.feeds_final().collect()}
+    want_feeds = {fc: f["last_pub_ts"] for fc, f in oracle.feeds.items()}
+    assert got_feeds == want_feeds

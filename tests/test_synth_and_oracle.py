@@ -93,3 +93,55 @@ def test_corpus_tables_build(spark):
     assert df.filter("kind='article' and status=200 and caption is not null").count() > 0
     assert hosts_df(spark, c).count() == len(c.hosts)
     assert preseen_df(spark, c).count() == len(c.preseen)
+
+
+def test_atom_roundtrip_parse():
+    """Atom 1.0 parse parity with ROME's transparent RSS/Atom handling
+    (RomeFeedParser.scala:20-28): link@href, published-else-updated (P4)."""
+    from datetime import datetime
+
+    from newsfeeds_crawler_spark.synth.corpus import make_atom
+
+    items = [("http://h/a", datetime(2026, 2, 1, 10, 30, 5)), ("http://h/b", None)]
+    body = make_atom(datetime(2026, 1, 15, 8, 0, 0), items)
+    feed_ts, parsed = parse_feed_py(body)
+    assert feed_ts == datetime(2026, 1, 15, 8, 0, 0)
+    assert parsed == items
+
+    # hand-written Atom: updated-only entry (P4 fallback), rel-less link,
+    # enclosure link skipped, entry without any link dropped
+    doc = (
+        '<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">'
+        "<updated>2026-01-01T00:00:00Z</updated>"
+        '<entry><link href="http://h/u1"/>'
+        "<updated>2026-03-01T01:02:03Z</updated></entry>"
+        '<entry><link rel="enclosure" href="http://h/skip.mp3"/>'
+        '<link rel="alternate" href="http://h/u2"/>'
+        "<published>2026-03-02T00:00:00+02:00</published></entry>"
+        "<entry><title>no link</title></entry>"
+        "</feed>"
+    )
+    feed_ts, parsed = parse_feed_py(doc)
+    assert feed_ts == datetime(2026, 1, 1, 0, 0, 0)
+    assert parsed == [
+        ("http://h/u1", datetime(2026, 3, 1, 1, 2, 3)),
+        ("http://h/u2", datetime(2026, 3, 1, 22, 0, 0)),  # +02:00 → UTC
+    ]
+
+
+def test_atom_frac_zero_is_byte_identical():
+    """atom_frac=0 (the default) must leave every existing corpus unchanged."""
+    a = synthesize(CorpusSpec(n_feeds=4, items_per_feed=5, n_hosts=3))
+    b = synthesize(CorpusSpec(n_feeds=4, items_per_feed=5, n_hosts=3, atom_frac=0.0))
+    assert {k: p.body for k, p in a.pages.items()} == {
+        k: p.body for k, p in b.pages.items()
+    }
+
+
+def test_mixed_rss_atom_corpus_has_both():
+    c = synthesize(CorpusSpec(n_feeds=8, items_per_feed=5, n_hosts=4, atom_frac=0.5))
+    bodies = [
+        p.body for p in c.pages.values() if p.kind == "feed" and p.body and "<" in p.body
+    ]
+    assert any("http://www.w3.org/2005/Atom" in b for b in bodies)
+    assert any("<rss" in b for b in bodies)

@@ -40,13 +40,18 @@ def main():
     ap.add_argument("--use-bloom", action="store_true",
                     help="Bloom-prefilter the seen probe")
     ap.add_argument("--seen-filter", choices=["none", "bloom", "cuckoo"],
-                    default="none", help="persisted seen prefilter kind")
+                    default="bloom", help="persisted seen prefilter kind")
     ap.add_argument("--seen-buckets", type=int, default=16,
                     help="hash-bucket the seen_urls table; per-epoch merge "
                          "rewrites only touched buckets (0 = plain table)")
-    ap.add_argument("--corpus-buckets", type=int, default=0,
+    ap.add_argument("--corpus-buckets", type=int, default=16,
                     help=">0 materializes a bucketed corpus copy and "
-                         "partition-prunes every fetch scan")
+                         "partition-prunes every fetch scan (0 = the input "
+                         "corpus is already bucket-partitioned)")
+    ap.add_argument("--frontier-buckets", type=int, default=16,
+                    help="hash-bucket the frontier on xxhash64(host); the "
+                         "per-epoch state transition rewrites only touched "
+                         "buckets (0 = full copy-on-write rewrite)")
     ap.add_argument("--depth-weight", type=float, default=0.0)
     ap.add_argument("--recency-weight", type=float, default=0.0)
     ap.add_argument("--resume", action="store_true",
@@ -83,6 +88,7 @@ def main():
         seen_filter=args.seen_filter,
         seen_buckets=args.seen_buckets,
         corpus_buckets=args.corpus_buckets,
+        frontier_buckets=args.frontier_buckets,
         depth_weight=args.depth_weight,
         recency_weight=args.recency_weight,
     )
