@@ -151,28 +151,35 @@ class CuckooTable:
 
     def delete_many(self, keys: np.ndarray) -> int:
         """Remove one matching fingerprint per key; returns removals."""
+        return int(self.delete_mask(keys).sum())
+
+    def delete_mask(self, keys: np.ndarray) -> np.ndarray:
+        """Remove one matching fingerprint per key; returns the boolean
+        mask of keys actually removed (so a chained filter can forward
+        the misses to the next table)."""
         keys = keys.astype(np.uint64, copy=False)
         fps = _fingerprint(keys)
         i1s = _index1(keys, self.table.shape[0])
         nb = self.table.shape[0]
-        removed = 0
-        for fp, i1 in zip(fps, i1s):
+        removed = np.zeros(len(keys), dtype=bool)
+        for j, (fp, i1) in enumerate(zip(fps, i1s)):
             i2 = int(_alt_index(np.array([i1]), np.array([fp], np.uint16), nb)[0])
             hit = False
             for i in (int(i1), i2):
                 hits = np.flatnonzero(self.table[i] == fp)
                 if hits.size:
                     self.table[i, hits[0]] = 0
-                    removed += 1
                     hit = True
                     break
             if not hit:
                 for si, (bi, bfp) in enumerate(self.stash):
                     if bfp == int(fp) and bi in (int(i1), i2):
                         del self.stash[si]
-                        removed += 1
+                        hit = True
                         break
-        self.n_items -= removed
+            removed[j] = hit
+        n = int(removed.sum())
+        self.n_items -= n
         return removed
 
     # ------------------------------------------------------------- probe
@@ -205,29 +212,110 @@ class CuckooTable:
 
     @classmethod
     def from_bytes(cls, blob: bytes, n_items: int = 0) -> "CuckooTable":
-        trailer = np.frombuffer(blob[-8:], dtype=np.uint32)
-        if len(blob) >= 8 and trailer[1] == _STASH_MAGIC:
-            n_stash = int(trailer[0])
-            stash_bytes = n_stash * 8
-            packed = np.frombuffer(
-                blob[len(blob) - 8 - stash_bytes : len(blob) - 8], dtype=np.uint64
-            )
-            stash = [(int(v >> np.uint64(16)), int(v & np.uint64(0xFFFF)))
-                     for v in packed]
-            table_blob = blob[: len(blob) - 8 - stash_bytes]
-        else:  # legacy blob without trailer
-            stash = []
-            table_blob = blob
+        stash: list = []
+        table_blob = blob
+        if len(blob) >= 8:
+            trailer = np.frombuffer(blob[-8:], dtype=np.uint32)
+            if trailer[1] == _STASH_MAGIC:
+                n_stash = int(trailer[0])
+                body = len(blob) - 8 - n_stash * 8
+                # VALIDATED parse: the trailer is only trusted when the
+                # stash fits and the remaining bytes form a whole
+                # power-of-two bucket table — otherwise the last 8 bytes
+                # are table data that happened to decode as [n, MAGIC]
+                # (a raw pre-trailer blob) and we parse the blob as such.
+                nb = body // (_SLOTS * 2)
+                if (
+                    body >= _SLOTS * 2
+                    and body % (_SLOTS * 2) == 0
+                    and (nb & (nb - 1)) == 0
+                ):
+                    packed = np.frombuffer(
+                        blob[body : body + n_stash * 8], dtype=np.uint64
+                    )
+                    stash = [
+                        (int(v >> np.uint64(16)), int(v & np.uint64(0xFFFF)))
+                        for v in packed
+                    ]
+                    table_blob = blob[:body]
         arr = np.frombuffer(table_blob, dtype=np.uint16)
         return cls(arr.reshape(-1, _SLOTS).copy(), n_items, stash)
 
 
+# ------------------------- chain (growable partition) serialization ------
+#
+# Partial-key cuckoo tables cannot rehash into a bigger table (only
+# fingerprints are stored, the bucket index of a key in a differently-sized
+# table is underivable). A partition therefore GROWS BY CHAINING: when its
+# active table saturates, new keys go into a fresh table of larger capacity
+# and membership is the OR across the chain. The chain serializes with a
+# versioned leading header (magic + count + per-table sizes) — no trailing
+# magic heuristics; pre-header blobs from older runs still parse via
+# CuckooTable.from_bytes' validated legacy path.
+
+_CHAIN_MAGIC = b"CKF1"
+_STASH_GROW = 8     # chain a new table once the active stash passes this
+_GROW_LOAD = 0.84   # ...or the active table's load factor passes this
+
+
+def _pack_chain(chain: list[CuckooTable]) -> bytes:
+    parts = [_CHAIN_MAGIC, np.array([len(chain)], dtype=np.uint32).tobytes()]
+    for t in chain:
+        parts.append(
+            np.array([t.table.shape[0], len(t.stash)], dtype=np.uint64).tobytes()
+        )
+        parts.append(t.table.tobytes())
+        if t.stash:
+            parts.append(
+                np.array(
+                    [(i << 16) | fp for i, fp in t.stash], dtype=np.uint64
+                ).tobytes()
+            )
+    return b"".join(parts)
+
+
+def _unpack_chain(blob: bytes, n_items: int = 0) -> list[CuckooTable]:
+    if blob[:4] != _CHAIN_MAGIC:
+        return [CuckooTable.from_bytes(blob, n_items)]  # pre-header blob
+    n_tables = int(np.frombuffer(blob[4:8], dtype=np.uint32)[0])
+    off = 8
+    chain: list[CuckooTable] = []
+    for _ in range(n_tables):
+        nb, ns = (
+            int(x) for x in np.frombuffer(blob[off : off + 16], dtype=np.uint64)
+        )
+        off += 16
+        tbytes = nb * _SLOTS * 2
+        arr = (
+            np.frombuffer(blob[off : off + tbytes], dtype=np.uint16)
+            .reshape(nb, _SLOTS)
+            .copy()
+        )
+        off += tbytes
+        packed = np.frombuffer(blob[off : off + ns * 8], dtype=np.uint64)
+        off += ns * 8
+        stash = [
+            (int(v >> np.uint64(16)), int(v & np.uint64(0xFFFF))) for v in packed
+        ]
+        chain.append(CuckooTable(arr, 0, stash))
+    if chain:
+        chain[0].n_items = n_items  # partition-level count
+    return chain
+
+
+def _chain_contains(chain: list[CuckooTable], keys: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(keys), dtype=bool)
+    for t in chain:
+        out |= t.contains_many(keys)
+    return out
+
+
 class PartitionedCuckoo:
     """Same partitioned API as operators.bloom.PartitionedBloom: one
-    CuckooTable per ``pmod(key, num_partitions)`` shard."""
+    chain of CuckooTables per ``pmod(key, num_partitions)`` shard."""
 
-    def __init__(self, tables: dict[int, CuckooTable], num_partitions: int):
-        self.tables = tables
+    def __init__(self, chains: dict[int, list[CuckooTable]], num_partitions: int):
+        self.chains = chains
         self.num_partitions = num_partitions
 
     # ------------------------------------------------------------- build
@@ -251,7 +339,7 @@ class PartitionedCuckoo:
             return pd.DataFrame(
                 {
                     "bucket": [part],
-                    "table": [t.to_bytes()],
+                    "table": [_pack_chain([t])],
                     "n_buckets": [t.table.shape[0]],
                     "n_items": [t.n_items],
                 }
@@ -266,11 +354,11 @@ class PartitionedCuckoo:
             .applyInPandas(build_part, _BLOB_SCHEMA)
             .collect()
         )
-        tables = {
-            r["bucket"]: CuckooTable.from_bytes(bytes(r["table"]), r["n_items"])
+        chains = {
+            r["bucket"]: _unpack_chain(bytes(r["table"]), r["n_items"])
             for r in rows
         }
-        return cls(tables, np_)
+        return cls(chains, np_)
 
     # ------------------------------------------------- incremental deltas
 
@@ -279,9 +367,22 @@ class PartitionedCuckoo:
         parts = np.mod(keys, self.num_partitions)
         for p in np.unique(parts):
             part_keys = keys[parts == p]
-            t = self.tables.setdefault(
-                int(p), CuckooTable.with_capacity(max(1024, 2 * len(part_keys)))
+            chain = self.chains.setdefault(
+                int(p),
+                [CuckooTable.with_capacity(max(1024, 2 * len(part_keys)))],
             )
+            t = chain[-1]
+            cap = t.table.shape[0] * _SLOTS
+            # grow by chaining (see _pack_chain comment): past ~84% load or
+            # a non-tiny stash, inserts into this table would degrade into
+            # stash appends (probe = linear scan) — open a bigger table
+            # instead so the stash invariant holds over long runs
+            if (
+                t.n_items + len(part_keys) > _GROW_LOAD * cap
+                or len(t.stash) > _STASH_GROW
+            ):
+                t = CuckooTable.with_capacity(max(2 * cap, 2 * len(part_keys)))
+                chain.append(t)
             t.add_many(part_keys)
 
     def delete_keys(self, keys: np.ndarray) -> int:
@@ -289,8 +390,16 @@ class PartitionedCuckoo:
         parts = np.mod(keys, self.num_partitions)
         removed = 0
         for p in np.unique(parts):
-            if int(p) in self.tables:
-                removed += self.tables[int(p)].delete_many(keys[parts == p])
+            chain = self.chains.get(int(p))
+            if not chain:
+                continue
+            rem = keys[parts == p]
+            for t in chain:
+                if rem.size == 0:
+                    break
+                mask = t.delete_mask(rem)
+                removed += int(mask.sum())
+                rem = rem[~mask]
         return removed
 
     # ------------------------------------------------------------- probe
@@ -299,43 +408,42 @@ class PartitionedCuckoo:
 
     def to_df(self, spark) -> DataFrame:
         """Blob rows for the catalog's filter state table (one row per
-        partition; the stash rides inside the blob trailer)."""
+        partition; the chain + stashes ride inside the versioned blob)."""
         rows = [
-            (p, bytearray(t.to_bytes()), t.table.shape[0], t.n_items)
-            for p, t in self.tables.items()
+            (
+                p,
+                bytearray(_pack_chain(chain)),
+                chain[0].table.shape[0],
+                sum(t.n_items for t in chain),
+            )
+            for p, chain in self.chains.items()
         ]
         return spark.createDataFrame(rows, _BLOB_SCHEMA)
 
     @staticmethod
     def from_df(df: DataFrame, num_partitions: int) -> "PartitionedCuckoo":
-        tables = {
-            r["bucket"]: CuckooTable.from_bytes(bytes(r["table"]), r["n_items"])
+        chains = {
+            r["bucket"]: _unpack_chain(bytes(r["table"]), r["n_items"])
             for r in df.collect()
         }
-        return PartitionedCuckoo(tables, num_partitions)
+        return PartitionedCuckoo(chains, num_partitions)
 
     def contains_col(self, df: DataFrame, key: str) -> DataFrame:
-        blobs = {
-            p: (t.to_bytes(), t.table.shape[0], t.n_items)
-            for p, t in self.tables.items()
-        }
+        blobs = {p: _pack_chain(chain) for p, chain in self.chains.items()}
         np_ = self.num_partitions
         bc = df.sparkSession.sparkContext.broadcast(blobs)
 
         @F.pandas_udf("boolean")
         def member(keys: pd.Series) -> pd.Series:
-            local = {
-                p: CuckooTable.from_bytes(blob, n)
-                for p, (blob, _, n) in bc.value.items()
-            }
+            local = {p: _unpack_chain(blob) for p, blob in bc.value.items()}
             k = keys.to_numpy(np.int64)
             parts = np.mod(k, np_)
             out = np.zeros(len(k), dtype=bool)
             for p in np.unique(parts):
-                t = local.get(int(p))
-                if t is not None:
+                chain = local.get(int(p))
+                if chain is not None:
                     mask = parts == p
-                    out[mask] = t.contains_many(k[mask])
+                    out[mask] = _chain_contains(chain, k[mask])
             return pd.Series(out)
 
         return df.withColumn("__maybe_seen", member(F.col(key)))

@@ -20,6 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -111,8 +112,19 @@ def _admit_batch(batch: DataFrame, workdir: str, workers: int,
 
 
 def read_admitted(spark: SparkSession, workdir: str) -> DataFrame:
-    """All committed admitted rows across batches (per-batch dirs)."""
+    """All committed admitted rows across batches (per-batch dirs).
+    An empty/fresh workdir (no committed batch yet) reads as an empty
+    typed frame, not a confusing zero-path error."""
     dirs = _batch_dirs(os.path.join(workdir, "admitted"), below=1 << 60)
+    if not dirs:
+        schema = StructType(
+            FRONTIER_STREAM_SCHEMA.fields
+            + [
+                StructField("admit_rank", IntegerType(), True),
+                StructField("batch_id", LongType(), True),
+            ]
+        )
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(*dirs)
 
 

@@ -21,10 +21,12 @@ executors exactly like the reference's per-host ``hostAccessMap``
 
 Caveat (documented, inherent to keyed state): a host's group function
 only runs on ticks where the batch carries rows for that host or a
-timeout fires; ``stream_host_gate`` therefore sets a processing-time
-timeout so parked rows drain even when no new input arrives for the host.
-The batch-equivalence test drives data-carrying ticks only, which is the
-deterministic subset.
+timeout fires; ``stream_host_gate(timeout=True)`` therefore arms a
+processing-time timeout — re-armed while parked rows remain — so parked
+rows drain even when no new input arrives for the host. The
+batch-equivalence test drives data-carrying ticks only (availableNow,
+no timeout), which is the deterministic subset; the drain test pins the
+timeout path.
 """
 
 from __future__ import annotations
@@ -105,7 +107,12 @@ def _gate_fn(delay_batches: int):
             _SEP.join(str(t[2]) for t in pend),
             _SEP.join(str(t[3]) for t in pend),
         ))
-        if state.hasTimedOut is False and hasattr(state, "setTimeoutDuration"):
+        # drain guarantee: while parked rows remain, keep the processing-time
+        # timeout armed — INCLUDING on timed-out invocations. A host with N
+        # parked rows and no further input needs N admission firings; arming
+        # only on data invocations (hasTimedOut False) would drain exactly
+        # one row after the first timeout and then stall forever.
+        if pend and hasattr(state, "setTimeoutDuration"):
             try:
                 state.setTimeoutDuration(1000)  # drain parked rows
             except Exception:
@@ -153,9 +160,18 @@ def stream_host_gate(
     schema,
     delay_batches: int = 1,
     max_files_per_trigger: int = 1,
+    timeout: bool = False,
+    trigger_secs: float = 0.0,
 ):
     """Streaming deployment: files land in ``frontier_dir``, admitted rows
-    append to ``workdir``/gated, state lives in the streaming checkpoint."""
+    append to ``workdir``/gated, state lives in the streaming checkpoint.
+
+    ``timeout=False`` (default) runs ``availableNow``: drain the input
+    directory, one micro-batch per file, then stop — the deterministic mode
+    the batch-equivalence test pins. ``timeout=True`` runs a continuous
+    ``processingTime`` trigger with the gate's processing-time timeout
+    armed, so parked rows drain even when no new input arrives for their
+    host (the long-running deployment mode); stop the query explicitly."""
     import os
 
     stream = (
@@ -166,10 +182,15 @@ def stream_host_gate(
     gated = stateful_host_gate(
         stream.select("url", "url_canon", "url_hash", "host", "seq"),
         delay_batches=delay_batches,
+        timeout=timeout,
     )
+    writer = gated.writeStream
+    if timeout:
+        writer = writer.trigger(processingTime=f"{max(trigger_secs, 1.0)} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
     return (
-        gated.writeStream.trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(workdir, "_gate_ckpt"))
+        writer.option("checkpointLocation", os.path.join(workdir, "_gate_ckpt"))
         .format("parquet")
         .option("path", os.path.join(workdir, "gated"))
         .start()

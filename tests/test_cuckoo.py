@@ -104,3 +104,78 @@ def test_crawl_with_cuckoo_prefilter_identical(spark, tmp_path):
         for r in eng.crawl_order().collect()
     ]
     assert got == oracle.crawl_order
+
+
+def test_incremental_adds_grow_by_chaining_stash_stays_tiny():
+    """A partition whose table saturates must open a new chained table
+    instead of degrading into unbounded stash appends (probe = linear
+    scan); membership must stay exact across the chain."""
+    from newsfeeds_crawler_spark.operators.cuckoo import _pack_chain, _unpack_chain
+
+    pc = PartitionedCuckoo({0: [CuckooTable.with_capacity(256)]}, 1)
+    all_keys = []
+    for step in range(40):  # 40 x 200 = 8000 keys into a 256-capacity start
+        ks = np.arange(step * 200, step * 200 + 200, dtype=np.int64) * 7919 + 1
+        pc.add_keys(ks)
+        all_keys.append(ks)
+    keys = np.concatenate(all_keys)
+    chain = pc.chains[0]
+    assert len(chain) > 1  # it actually grew
+    for t in chain:
+        assert len(t.stash) <= 16  # stash invariant holds under heavy load
+    from newsfeeds_crawler_spark.operators.cuckoo import _chain_contains
+
+    assert _chain_contains(chain, keys).all()  # no false negatives
+    # serialization round-trips the whole chain (versioned header format)
+    chain2 = _unpack_chain(_pack_chain(chain), sum(t.n_items for t in chain))
+    assert len(chain2) == len(chain)
+    assert _chain_contains(chain2, keys).all()
+
+
+def test_chained_filter_df_roundtrip_and_delete(spark):
+    pc = PartitionedCuckoo({0: [CuckooTable.with_capacity(128)]}, 1)
+    keys = np.arange(1, 2001, dtype=np.int64)
+    pc.add_keys(keys)
+    assert len(pc.chains[0]) > 1
+    pc2 = PartitionedCuckoo.from_df(pc.to_df(spark), 1)
+    assert len(pc2.chains[0]) == len(pc.chains[0])
+    # deletes find keys living in ANY table of the chain
+    assert pc2.delete_keys(np.array([1, 500, 1999], dtype=np.int64)) == 3
+    cands = spark.range(1, 2001).select(F.col("id").alias("k"))
+    flags = {
+        r["k"]: r["__maybe_seen"] for r in pc2.contains_col(cands, "k").collect()
+    }
+    assert sum(flags.values()) >= 2000 - 3  # survivors all positive
+
+
+def test_legacy_blob_trailer_collision_parses_as_raw_table():
+    """A pre-trailer blob whose last 8 bytes happen to decode as
+    [n, STASH_MAGIC] must NOT be misparsed as a stash trailer — the
+    validated parse falls back to the raw-table interpretation."""
+    keys = np.arange(1, 101, dtype=np.int64) * 31
+    t = CuckooTable.with_capacity(500)
+    t.add_many(keys)
+    # forge the collision in the final bucket's last two slots:
+    # trailer uint32[1] = slots[2] | slots[3]<<16 = 0x0C0C0C0C
+    t.table[-1, 2] = 0x0C0C
+    t.table[-1, 3] = 0x0C0C
+    t.table[-1, 0] = 0xFFFF  # "n_stash" low half — absurd count
+    raw_legacy = t.table.tobytes()  # old format: table bytes only
+    t2 = CuckooTable.from_bytes(raw_legacy, t.n_items)
+    assert t2.table.shape == t.table.shape  # parsed as raw, not corrupted
+    # keys whose buckets the forgery itself clobbered are excluded — the
+    # point is the PARSE: under the old heuristic the blob tail was
+    # stripped as a fake stash and every key's bucket index shifted
+    from newsfeeds_crawler_spark.operators.cuckoo import (
+        _alt_index,
+        _fingerprint,
+        _index1,
+    )
+
+    nb = t.table.shape[0]
+    u = keys.astype(np.uint64)
+    i1 = _index1(u, nb)
+    i2 = _alt_index(i1, _fingerprint(u), nb).astype(np.int64)
+    safe = keys[(i1 != nb - 1) & (i2 != nb - 1)]
+    assert len(safe) > 50
+    assert t2.contains_many(safe).all()

@@ -210,3 +210,58 @@ def test_stateful_host_gate_matches_batch_politeness(spark, tmp_path):
                 want.add((h, st["pend"].pop(0), st["ticks"]))
                 st["last"] = st["ticks"]
     assert got == want and got  # non-empty, exact
+
+
+def test_read_admitted_empty_workdir_returns_typed_empty(spark, tmp_path):
+    """A fresh workdir (no committed batch yet) must read as an empty
+    typed frame, not raise a zero-path error."""
+    got = read_admitted(spark, str(tmp_path / "fresh"))
+    assert got.count() == 0
+    assert "url_hash" in got.columns and "admit_rank" in got.columns
+
+
+def test_stateful_gate_timeout_drains_all_parked_rows(spark, tmp_path):
+    """With the processing-time timeout armed, a host with N parked rows
+    and NO further input must drain all N (one per firing) — the timeout
+    re-arms while parked rows remain, including on timed-out firings."""
+    from newsfeeds_crawler_spark.streaming.frontier_stream import (
+        FRONTIER_STREAM_SCHEMA,
+    )
+    from newsfeeds_crawler_spark.streaming.stateful_gate import stream_host_gate
+
+    frontier_dir = str(tmp_path / "drain_in")
+    workdir = str(tmp_path / "drain_wd")
+    os.makedirs(frontier_dir)
+    rows = [(f"u{i}", f"u{i}", i * 7, "h0", None, i) for i in range(3)]
+    df = spark.createDataFrame(rows, FRONTIER_STREAM_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "drain_b0"))
+    for fn in os.listdir(str(tmp_path / "drain_b0")):
+        if fn.endswith(".parquet"):
+            os.rename(
+                str(tmp_path / "drain_b0" / fn), f"{frontier_dir}/batch0.parquet"
+            )
+
+    q = stream_host_gate(
+        spark, frontier_dir, workdir, FRONTIER_STREAM_SCHEMA,
+        delay_batches=1, timeout=True,
+    )
+    gated_dir = os.path.join(workdir, "gated")
+    try:
+        deadline = time.time() + 90
+        n = 0
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(gated_dir).count()
+            except Exception:
+                n = 0
+            if n >= 3:
+                break
+            time.sleep(1.0)
+    finally:
+        q.stop()
+    assert n == 3, f"only {n}/3 parked rows drained"
+    got = spark.read.parquet(gated_dir)
+    assert {r.seq for r in got.collect()} == {0, 1, 2}
+    # FIFO within the host: admission tick order follows seq order
+    ticks = {r.seq: r.gate_tick for r in got.collect()}
+    assert ticks[0] < ticks[1] < ticks[2]
