@@ -28,6 +28,17 @@ def get_spark(
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # make the package importable on python workers regardless of the
+    # driver's cwd: the JVM (and every python worker / streaming runner it
+    # forks) inherits this env. Closures pickle by value, but module-level
+    # classes (e.g. the transformWithStateInPandas StatefulProcessor)
+    # pickle by REFERENCE and must import on the worker — locally this env
+    # bridge is what `spark-submit --py-files` provides on a cluster. A
+    # no-op if the JVM already exists (getOrCreate reuse).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + pp if pp else "")
     if shuffle_partitions is None:
         shuffle_partitions = int(
             os.environ.get("NFC_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
