@@ -331,7 +331,18 @@ class CrawlEngine:
         (init = seed counts; ′ = counts − processed + enqueued) — so stall
         metrics and convergence tests never scan the pending frontier.
         Returns (new_versions, summary, new_pending_counts)."""
+        import time as _time
+
         cfg, cat = self.cfg, self.cat
+        phases = self.last_tick_phases = {}
+        _t0 = _time.time()
+
+        def _mark(name):
+            nonlocal _t0
+            now = _time.time()
+            phases[name] = round(now - _t0, 3)
+            _t0 = now
+
         frontier = cat.read("frontier", v["frontier"])
         pending = frontier.filter(F.col("state") == "pending")
         hosts = cat.read("hosts", v["hosts"])
@@ -341,6 +352,8 @@ class CrawlEngine:
         # dominated by job count, not data volume, at small admitted sizes
         allowed, denied0 = robots_split(pending, hosts)
         adm0 = admit(allowed, hosts, tick, cfg.workers, cfg.salt_partitions)
+        # non-eager checkpoint + count: the count IS the materializing
+        # action, so admission costs ONE job launch instead of two
         gate = (
             adm0.withColumn("__gate", F.lit("a"))
             .unionByName(
@@ -348,28 +361,20 @@ class CrawlEngine:
                 .select(*adm0.columns)
                 .withColumn("__gate", F.lit("d"))
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         admitted = gate.filter(F.col("__gate") == "a").drop("__gate")
         denied = gate.filter(F.col("__gate") == "d").drop("__gate")
         from concurrent.futures import ThreadPoolExecutor
 
-        count_pool = ThreadPoolExecutor(max_workers=1)
-        count_fut = count_pool.submit(
-            lambda: {
-                r["__gate"]: r["n"]
-                for r in gate.groupBy("__gate")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-        )
-
-        def gate_counts():
-            counts = count_fut.result()
-            count_pool.shutdown()
-            return counts.get("a", 0), counts.get("d", 0)
-
-        n_admitted, n_denied = gate_counts()
+        gcounts = {
+            r["__gate"]: r["n"]
+            for r in gate.groupBy("__gate")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_admitted, n_denied = gcounts.get("a", 0), gcounts.get("d", 0)
+        _mark("gate")
         if n_admitted == 0 and n_denied == 0:
             # counts are exact, so convergence (A3) and the stall total need
             # no pending scan (ProjectManager.scala:37-51)
@@ -409,6 +414,7 @@ class CrawlEngine:
             )
             .localCheckpoint(eager=True)
         )
+        _mark("fetch")
         feeds_f = fetched.filter(F.col("kind") == "feed")
         arts_f = fetched.filter(F.col("kind") == "article")
 
@@ -443,32 +449,41 @@ class CrawlEngine:
         )
         which = "bloom" if cfg.use_bloom else cfg.seen_filter
         bloom = self._load_filter(which, v, store_latest)
-        # bucketed store: prune the probe scan to the candidates' touched
-        # buckets (mirror of the fetch join's corpus pruning) — the probe
-        # then reads ≤ |items| bucket dirs, never the whole store
-        probe_store = store_latest
-        if cfg.seen_buckets > 0:
-            touched = {
-                r["b"]
-                for r in items.select(
-                    F.pmod(F.col("item_hash"), F.lit(cfg.seen_buckets))
-                    .cast("int")
-                    .alias("b")
+
+        def probed_job():
+            # bucketed store: prune the probe scan to the candidates'
+            # touched buckets (mirror of the fetch join's corpus pruning) —
+            # the probe then reads ≤ |items| bucket dirs, never the whole
+            # store. The collect lives INSIDE this thread so the decode
+            # branch starts concurrently with it.
+            probe_store = store_latest
+            if cfg.seen_buckets > 0:
+                touched = {
+                    r["b"]
+                    for r in items.select(
+                        F.pmod(F.col("item_hash"), F.lit(cfg.seen_buckets))
+                        .cast("int")
+                        .alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                }
+                probe_store = cat.read(
+                    "seen_urls", v["seen_urls"], buckets=touched
                 )
-                .distinct()
-                .collect()
-            }
-            probe_store = cat.read("seen_urls", v["seen_urls"], buckets=touched)
-        probed_plan = probe(
-            items, probe_store, hash_key="item_hash", bloom=bloom
-        ).withColumn(
-            "fetch_flag",
-            should_fetch(
-                F.col("item_ts"),
-                F.when(F.col("__seen"), F.lit(1)),
-                F.col("stored_pub_ts"),
-            ),
-        )
+            return (
+                probe(items, probe_store, hash_key="item_hash", bloom=bloom)
+                .withColumn(
+                    "fetch_flag",
+                    should_fetch(
+                        F.col("item_ts"),
+                        F.when(F.col("__seen"), F.lit(1)),
+                        F.col("stored_pub_ts"),
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+
         # the feed branch's probe and the article branch's decode are
         # independent given the materialized ``fetched`` — overlap their
         # materialization jobs (the two slowest non-write jobs of a tick)
@@ -480,14 +495,13 @@ class CrawlEngine:
         )
         decoded_plan = decode_images(arts.filter(F.col("a_state") == "done"))
         with ThreadPoolExecutor(max_workers=2) as ck_pool:
-            f_probed = ck_pool.submit(
-                lambda: probed_plan.localCheckpoint(eager=True)
-            )
+            f_probed = ck_pool.submit(probed_job)
             f_decoded = ck_pool.submit(
                 lambda: decoded_plan.localCheckpoint(eager=True)
             )
             probed = f_probed.result()
             decoded = f_decoded.result()
+        _mark("probe_decode")
 
         w_sub = Window.partitionBy("feed_canon").orderBy("item_idx")
         new_tasks = (
@@ -754,6 +768,7 @@ class CrawlEngine:
             else:
                 new_counts.pop(b, None)
         metrics_new = self.spark.createDataFrame(metric_rows, S.METRICS_SCHEMA)
+        _mark("metrics")
 
         # ---- decode-error quarantine (S8) ---------------------------------
         errors_new = decoded.filter(F.col("decode_error").isNotNull()).select(
@@ -850,6 +865,7 @@ class CrawlEngine:
             futs = {name: pool.submit(fn) for name, fn in jobs.items()}
             for name, fut in futs.items():
                 nv[name] = fut.result()
+        _mark("writes")
 
         summary = {
             "epoch": tick,

@@ -37,6 +37,7 @@ def main():
                     choices=["none", "bloom", "cuckoo"])
     ap.add_argument("--seen-buckets", type=int, default=0)
     ap.add_argument("--corpus-buckets", type=int, default=0)
+    ap.add_argument("--frontier-buckets", type=int, default=0)
     ap.add_argument("--salt-partitions", type=int, default=0)
     args = ap.parse_args()
 
@@ -58,6 +59,7 @@ def main():
         seen_filter=args.seen_filter,
         seen_buckets=args.seen_buckets,
         corpus_buckets=args.corpus_buckets,
+        frontier_buckets=args.frontier_buckets,
         salt_partitions=args.salt_partitions,
         max_epochs=args.ticks,
     )
@@ -79,14 +81,27 @@ def main():
 
     cat.write = timed_write
     v = eng.init_state()
+    from pyspark.sql import functions as F
+
+    from newsfeeds_crawler_spark.functions.urls import host_bucket
+
+    counts = {
+        r["b"]: r["n"]
+        for r in cat.read("frontier", v["frontier"])
+        .filter(F.col("state") == "pending")
+        .groupBy(host_bucket(F.col("host"), cfg.num_host_buckets).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     for tick in range(args.ticks):
         t0 = time.time()
-        r = eng._run_tick(tick, v)
+        r = eng._run_tick(tick, v, counts)
         if r is None:
             break
-        v, meta = r
+        v, meta, counts = r
         cat.commit_epoch(tick + 1, v, meta=meta)
-        print(f"tick {tick}: {time.time() - t0:.2f}s {meta}")
+        ph = getattr(eng, "last_tick_phases", {})
+        print(f"tick {tick}: {time.time() - t0:.2f}s {meta} phases={ph}")
     for k, vals in sorted(times.items()):
         print(f"  {k}: n={len(vals)} avg={sum(vals) / len(vals):.2f}s "
               f"(concurrent — not additive wall time)")
