@@ -68,6 +68,9 @@ def fetch(
     corpus: DataFrame,
     num_buckets: int = 0,
     materialize: bool = True,
+    touched: list[int] | None = None,
+    enrich=None,
+    null_cols: tuple = (),
 ) -> DataFrame:
     """Simulated-fetch join. Adds body (null unless status 200) and the
     corpus payload columns; URLs absent from the corpus behave like
@@ -84,18 +87,31 @@ def fetch(
     ``num_buckets`` > 0 and a ``bucket`` partition column on ``corpus``
     additionally prune the scan to the admitted keys' buckets
     (partition pruning — only touched buckets are read at all).
+    ``touched`` skips the internal bucket collect when the caller already
+    knows the admitted keys' buckets (the driver folds it into the gate
+    stats job so a tick launches one job fewer).
+
+    ``enrich(hits)`` is applied to the corpus-hit rows AFTER the body
+    decode but BEFORE the checkpoint, so per-body stages (feed parse,
+    caption extract) materialize in the SAME job as the fetch join —
+    callers then need no second checkpoint over the union. ``null_cols``
+    ((name, type), ...) declares the enrich outputs' null-typed columns
+    for the miss rows (a missed URL has a null body, so every body-derived
+    column is null by construction — the literal skips re-running UDFs on
+    rows whose input is known-null).
     """
     if num_buckets > 0 and "bucket" in corpus.columns:
-        touched = [
-            r["b"]
-            for r in admitted.select(
-                F.pmod(F.xxhash64("url_canon"), F.lit(num_buckets))
-                .cast("int")
-                .alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
+        if touched is None:
+            touched = [
+                r["b"]
+                for r in admitted.select(
+                    F.pmod(F.xxhash64("url_canon"), F.lit(num_buckets))
+                    .cast("int")
+                    .alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
         corpus = corpus.where(F.col("bucket").isin(touched))
     # compressed-corpus variant (ref DefaultHttpFacade.scala:44-57,116):
     # bodies stored as gzip/deflate bytes + charset are inflated by an
@@ -110,20 +126,6 @@ def fetch(
     )
     adm = F.broadcast(admitted)
     hits = payload.join(adm, F.col("__cu") == adm["url_canon"], "inner").drop("__cu")
-    if materialize:
-        hits = hits.localCheckpoint(eager=True)
-    misses = admitted.join(
-        F.broadcast(hits.select("url_canon")), "url_canon", "left_anti"
-    )
-    for c, t in (
-        ("status", "int"), ("__raw_body", "string"), ("bytes", "binary"),
-        ("w", "int"), ("h", "int"), ("fmt", "string"),
-        ("caption", "string"), ("phash", "long"),
-        *((("body_gz", "binary"), ("content_encoding", "string"),
-           ("charset", "string")) if gz else ()),
-    ):
-        misses = misses.withColumn(c, F.lit(None).cast(t))
-    fetched = hits.unionByName(misses.select(*hits.columns))
     raw = F.col("__raw_body")
     if gz:
         from newsfeeds_crawler_spark.operators.httpbody import decode_body
@@ -134,12 +136,27 @@ def fetch(
                 F.col("body_gz"), F.col("content_encoding"), F.col("charset")
             ),
         )
-    return fetched.withColumn(
+    hits = hits.withColumn(
         "body",
         F.when(F.col("status") == 200, raw).otherwise(
             F.lit(None).cast("string")
         ),
     ).drop("__raw_body", *gz_cols)
+    if enrich is not None:
+        hits = enrich(hits)
+    if materialize:
+        hits = hits.localCheckpoint(eager=True)
+    misses = admitted.join(
+        F.broadcast(hits.select("url_canon")), "url_canon", "left_anti"
+    )
+    for c, t in (
+        ("status", "int"), ("body", "string"), ("bytes", "binary"),
+        ("w", "int"), ("h", "int"), ("fmt", "string"),
+        ("caption", "string"), ("phash", "long"),
+        *null_cols,
+    ):
+        misses = misses.withColumn(c, F.lit(None).cast(t))
+    return hits.unionByName(misses.select(*hits.columns))
 
 
 def explode_items(parsed_feeds: DataFrame) -> DataFrame:

@@ -367,13 +367,34 @@ class CrawlEngine:
         denied = gate.filter(F.col("__gate") == "d").drop("__gate")
         from concurrent.futures import ThreadPoolExecutor
 
-        gcounts = {
-            r["__gate"]: r["n"]
-            for r in gate.groupBy("__gate")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        n_admitted, n_denied = gcounts.get("a", 0), gcounts.get("d", 0)
+        # ONE stats aggregate materializes the gate checkpoint and yields
+        # everything the tick's later bucket pruning needs: the gate counts,
+        # the admitted keys' corpus buckets (fetch-scan pruning), and the
+        # admitted articles' seen-store buckets (upsert prior-row pruning —
+        # a superset of the decoded keys' buckets, and a superset only adds
+        # store rows the inner join drops). Folding the three collects into
+        # one job keeps the per-epoch fixed cost at one launch per phase.
+        is_a = F.col("__gate") == "a"
+        gstats = gate.groupBy(
+            "__gate",
+            F.when(
+                is_a,
+                F.pmod(
+                    F.xxhash64("url_canon"), F.lit(max(cfg.corpus_buckets, 1))
+                ).cast("int"),
+            ).alias("cb"),
+            F.when(
+                is_a & (F.col("kind") == "article"),
+                F.pmod(F.col("url_hash"), F.lit(max(cfg.seen_buckets, 1)))
+                .cast("int"),
+            ).alias("sb"),
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+        n_admitted = sum(r["n"] for r in gstats if r["__gate"] == "a")
+        n_denied = sum(r["n"] for r in gstats if r["__gate"] == "d")
+        touched_corpus = sorted(
+            {r["cb"] for r in gstats if r["cb"] is not None}
+        )
+        tb_articles = {r["sb"] for r in gstats if r["sb"] is not None}
         _mark("gate")
         if n_admitted == 0 and n_denied == 0:
             # counts are exact, so convergence (A3) and the stall total need
@@ -399,20 +420,27 @@ class CrawlEngine:
         store_latest = cat.read("seen_urls", v["seen_urls"])
 
         # ---- fetch (S5) + split ------------------------------------------
-        # one checkpoint materializes fetch + parse UDF + caption extract +
-        # status routing for BOTH branches; the per-kind frames below are
-        # pure filters over materialized rows (no recompute, no extra jobs)
-        fetched = (
-            fetch(admitted, self.corpus, num_buckets=cfg.corpus_buckets)
-            .withColumn(
+        # ONE job: the fetch join's internal hits checkpoint also runs the
+        # parse UDF + caption extract (enrich=) — miss rows (null body)
+        # union in as null-typed literals, so the per-kind frames below are
+        # cheap plans over the materialized hits ∪ a broadcast anti-join of
+        # the (≤ workers-row) admitted frame; no second checkpoint needed
+        fetched = fetch(
+            admitted,
+            self.corpus,
+            num_buckets=cfg.corpus_buckets,
+            touched=touched_corpus,
+            enrich=lambda hits: hits.withColumn(
                 "parsed",
                 parse_feed_udf(F.when(F.col("kind") == "feed", F.col("body"))),
-            )
-            .withColumn(
+            ).withColumn(
                 "caption_x",
                 extract_caption(F.when(F.col("kind") == "article", F.col("body"))),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            null_cols=(
+                ("parsed", parse_feed_udf.returnType),
+                ("caption_x", "string"),
+            ),
         )
         _mark("fetch")
         feeds_f = fetched.filter(F.col("kind") == "feed")
@@ -448,9 +476,14 @@ class CrawlEngine:
             .drop("__rn")
         )
         which = "bloom" if cfg.use_bloom else cfg.seen_filter
-        bloom = self._load_filter(which, v, store_latest)
+        bloom = None
 
         def probed_job():
+            # the persisted-filter load (a small state-table read + collect)
+            # is only needed by the probe, so it rides inside this thread
+            # and overlaps the decode branch instead of serializing the tick
+            nonlocal bloom
+            bloom = self._load_filter(which, v, store_latest)
             # bucketed store: prune the probe scan to the candidates'
             # touched buckets (mirror of the fetch join's corpus pruning) —
             # the probe then reads ≤ |items| bucket dirs, never the whole
@@ -533,17 +566,12 @@ class CrawlEngine:
         # (tiny, ≤ workers rows) decoded key set, broadcast the hits back
         prior_store = store_latest
         if cfg.seen_buckets > 0:
-            tb = {
-                r["b"]
-                for r in decoded.select(
-                    F.pmod(F.col("url_hash"), F.lit(cfg.seen_buckets))
-                    .cast("int")
-                    .alias("b")
-                )
-                .distinct()
-                .collect()
-            }
-            prior_store = cat.read("seen_urls", v["seen_urls"], buckets=tb)
+            # tb_articles came free with the gate stats job: the admitted
+            # articles' buckets ⊇ the decoded keys' buckets, and extra
+            # buckets only add prior rows the inner join below discards
+            prior_store = cat.read(
+                "seen_urls", v["seen_urls"], buckets=tb_articles
+            )
         prior = prior_store.select(
             F.col("url_canon").alias("__pk"),
             F.col("article_id").alias("prior_id"),
@@ -740,35 +768,51 @@ class CrawlEngine:
         def m(t):
             return F.sum(F.when(F.col("__m") == t, 1).otherwise(0))
 
-        act = {
-            r["host_bucket"]: r
-            for r in tagged.groupBy("host_bucket")
-            .agg(
-                m("f").alias("f"),
-                m("d").alias("d"),
-                m("e").alias("e"),
-                m("r").alias("r"),
+        # the activity aggregate is an independent job over materialized
+        # frames, so its collect runs INSIDE the concurrent-write pool
+        # below (w_metrics) and overlaps the snapshot writes instead of
+        # occupying a serial phase; the metrics write chains behind its
+        # own collect within the same pool slot
+        metrics_out = {}
+
+        def w_metrics():
+            act = {
+                r["host_bucket"]: r
+                for r in tagged.groupBy("host_bucket")
+                .agg(
+                    m("f").alias("f"),
+                    m("d").alias("d"),
+                    m("e").alias("e"),
+                    m("r").alias("r"),
+                )
+                .collect()
+            }
+            new_counts = dict(pending_counts)
+            metric_rows = []
+            for b in sorted(
+                set(act) | {b for b, n in pending_counts.items() if n > 0}
+            ):
+                a = act.get(b)
+                f_, d_, e_, r_ = (
+                    (a["f"], a["d"], a["e"], a["r"])
+                    if a is not None
+                    else (0, 0, 0, 0)
+                )
+                p = pending_counts.get(b, 0)
+                metric_rows.append((tick, b, f_, p - f_ - r_, d_, e_, r_))
+                nb = p - f_ - r_ + e_
+                if nb:
+                    new_counts[b] = nb
+                else:
+                    new_counts.pop(b, None)
+            metrics_out["counts"] = new_counts
+            metrics_new = self.spark.createDataFrame(
+                metric_rows, S.METRICS_SCHEMA
             )
-            .collect()
-        }
-        new_counts = dict(pending_counts)
-        metric_rows = []
-        for b in sorted(
-            set(act) | {b for b, n in pending_counts.items() if n > 0}
-        ):
-            a = act.get(b)
-            f_, d_, e_, r_ = (
-                (a["f"], a["d"], a["e"], a["r"]) if a is not None else (0, 0, 0, 0)
+            return cat.write(
+                "metrics", metrics_new.coalesce(small), mode="append",
+                base_version=v["metrics"],
             )
-            p = pending_counts.get(b, 0)
-            metric_rows.append((tick, b, f_, p - f_ - r_, d_, e_, r_))
-            nb = p - f_ - r_ + e_
-            if nb:
-                new_counts[b] = nb
-            else:
-                new_counts.pop(b, None)
-        metrics_new = self.spark.createDataFrame(metric_rows, S.METRICS_SCHEMA)
-        _mark("metrics")
 
         # ---- decode-error quarantine (S8) ---------------------------------
         errors_new = decoded.filter(F.col("decode_error").isNotNull()).select(
@@ -847,10 +891,7 @@ class CrawlEngine:
                 "articles", article_rows.coalesce(big), mode="append",
                 base_version=v["articles"],
             ),
-            "metrics": lambda: cat.write(
-                "metrics", metrics_new.coalesce(small), mode="append",
-                base_version=v["metrics"],
-            ),
+            "metrics": w_metrics,
             "errors": lambda: cat.write(
                 "errors", errors_new.coalesce(small), mode="append",
                 base_version=v["errors"]
@@ -872,7 +913,7 @@ class CrawlEngine:
             "admitted": n_admitted,
             "robots_denied": n_denied,
         }
-        return nv, summary, new_counts
+        return nv, summary, metrics_out["counts"]
 
     # --------------------------------------------------- liveness guard
 
