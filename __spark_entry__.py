@@ -442,6 +442,33 @@ def q_text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-merge BPE tokenizer (operators/bpe.py): merges trained on
+    the documents table itself (one word-count aggregate + bounded top-k +
+    driver-side merge loop), then an Arrow-batched encode. Rows-only check
+    (training+encode is iterative — no SQL oracle); every row self-verifies:
+    ``ok`` = concatenating a doc's tokens reproduces its whitespace-stripped
+    lowercased text AND the subword count lies in [word count, char count].
+    """
+    from newsfeeds_crawler_spark.operators.bpe import bpe_encode, learn_merges
+
+    d = _t(spark, sf_dir, "documents")
+    merges = learn_merges(d, n_merges=64, vocab_size=5000)
+    enc = bpe_encode(d, merges)
+    stripped = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", "")
+    n_words = token_count_ws(F.col("text"))
+    return enc.select(
+        "doc_id",
+        F.size("bpe_toks").cast("bigint").alias("n_bpe"),
+        n_words.alias("n_words"),
+        (
+            (F.concat_ws("", F.col("bpe_toks")) == stripped)
+            & (F.size("bpe_toks") >= n_words)
+            & (F.size("bpe_toks") <= F.length(stripped))
+        ).alias("ok"),
+    )
+
+
 def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-dashboard rollup: per (event_type, user-bucket) counts with
     subtotal and grand-total rows (ROLLUP grouping sets)."""
@@ -704,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_stats": q_text_stats,
         "text_lang_quality": q_text_lang_quality,
+        "text_bpe_tokens": q_text_bpe_tokens,
         "metrics_rollup": q_metrics_rollup,
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "image_decode_roundtrip": q_image_decode_roundtrip,
@@ -998,4 +1026,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # image_decode_roundtrip: intentionally omitted (rows-only check) —
         # binary image codecs are not SQL-expressible.
+        # text_bpe_tokens: intentionally omitted (rows-only check) — BPE
+        # training/encode is an iterative merge loop; every row carries a
+        # self-verifying ``ok`` (detokenization identity + count bounds).
     }

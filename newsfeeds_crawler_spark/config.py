@@ -123,6 +123,12 @@ class CrawlerConfiguration:
     max_waiting_time_before_stop: int
     host_access_interval: int
     http_workers_number: int
+    # parsed for config-surface parity but INTENTIONALLY INERT: in the
+    # reference these tune the real HttpClient (connection/socket
+    # timeouts, DefaultHttpFacade.scala:35-39); this engine's fetch is a
+    # corpus join with no network stack, so there is nothing to configure.
+    # They stay typed + accessible so a config written for the reference
+    # round-trips, and so a future real-HTTP source can consume them.
     client_http_params: dict = field(default_factory=dict)
     db_url: str | None = None
     db_username: str | None = None
