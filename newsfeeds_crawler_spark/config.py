@@ -123,12 +123,13 @@ class CrawlerConfiguration:
     max_waiting_time_before_stop: int
     host_access_interval: int
     http_workers_number: int
-    # parsed for config-surface parity but INTENTIONALLY INERT: in the
-    # reference these tune the real HttpClient (connection/socket
-    # timeouts, DefaultHttpFacade.scala:35-39); this engine's fetch is a
-    # corpus join with no network stack, so there is nothing to configure.
-    # They stay typed + accessible so a config written for the reference
-    # round-trips, and so a future real-HTTP source can consume them.
+    # typed httpClient.* map (reference: set verbatim on HttpClient,
+    # DefaultHttpFacade.scala:96-103). The engine CONSUMES
+    # http.socket.timeout — fetches whose simulated latency reaches it get
+    # the reference's exception→null-body routing (functions/httpsim.py);
+    # the remaining params are transport tuning with no corpus-join analog
+    # and stay typed + accessible but inert, so a config written for the
+    # reference round-trips and a future real-HTTP source can consume them.
     client_http_params: dict = field(default_factory=dict)
     db_url: str | None = None
     db_username: str | None = None
@@ -179,6 +180,11 @@ class CrawlerConfiguration:
                     self.max_waiting_time_before_stop / self.host_access_interval
                 ),
             ),
+            # consumed by the fetch stage: http.socket.timeout nulls the
+            # body of fetches whose simulated latency reaches it
+            # (functions/httpsim.py); other params are transport tuning,
+            # carried but inert in a corpus-join fetch
+            client_http_params=self.client_http_params,
         )
         kw.update(overrides)
         return CrawlConfig(**kw)

@@ -71,6 +71,7 @@ def fetch(
     touched: list[int] | None = None,
     enrich=None,
     null_cols: tuple = (),
+    socket_timeout_ms: int = 0,
 ) -> DataFrame:
     """Simulated-fetch join. Adds body (null unless status 200) and the
     corpus payload columns; URLs absent from the corpus behave like
@@ -99,6 +100,12 @@ def fetch(
     for the miss rows (a missed URL has a null body, so every body-derived
     column is null by construction — the literal skips re-running UDFs on
     rows whose input is known-null).
+
+    ``socket_timeout_ms`` > 0 consumes the reference's
+    ``httpClient.http.socket.timeout`` param: a fetch whose deterministic
+    simulated latency (functions/httpsim.py) reaches the timeout yields a
+    null body — the reference maps the timeout exception to null content
+    (HttpManager.scala:112-121), identical routing to a non-200.
     """
     if num_buckets > 0 and "bucket" in corpus.columns:
         if touched is None:
@@ -136,11 +143,14 @@ def fetch(
                 F.col("body_gz"), F.col("content_encoding"), F.col("charset")
             ),
         )
+    ok = F.col("status") == 200
+    if socket_timeout_ms > 0:
+        from newsfeeds_crawler_spark.functions.httpsim import sim_latency_ms
+
+        ok = ok & (sim_latency_ms(F.col("url_canon")) < F.lit(socket_timeout_ms))
     hits = hits.withColumn(
         "body",
-        F.when(F.col("status") == 200, raw).otherwise(
-            F.lit(None).cast("string")
-        ),
+        F.when(ok, raw).otherwise(F.lit(None).cast("string")),
     ).drop("__raw_body", *gz_cols)
     if enrich is not None:
         hits = enrich(hits)

@@ -39,6 +39,7 @@ from typing import Optional
 from newsfeeds_crawler_spark.functions.feedparse import parse_feed_py
 from newsfeeds_crawler_spark.functions.predicates import is_newer_py
 from newsfeeds_crawler_spark.functions.urls import canonicalize_url_py, url_host_py
+from newsfeeds_crawler_spark.functions.httpsim import sim_latency_ms_py
 from newsfeeds_crawler_spark.synth.corpus import SynthCorpus, extract_caption_py
 
 
@@ -94,6 +95,7 @@ def simulate(
     max_epochs: int = 100_000,
     depth_weight: float = 0.0,
     recency_weight: float = 0.0,
+    socket_timeout_ms: int = 0,
 ) -> OracleResult:
     """Both weights 0.0 -> constant priority -> the reference's pure
     mailbox FIFO. Non-zero weights replay the engine's priority frontier:
@@ -178,6 +180,16 @@ def simulate(
             t.state = "fetched"
             page = corpus.page(t.url_canon)
             body = page.body if page is not None and page.status == 200 else None
+            # httpClient http.socket.timeout: a fetch whose deterministic
+            # latency reaches the timeout throws in the reference, and the
+            # downloader maps the exception to null content
+            # (HttpManager.scala:112-121) — same routing as a non-200
+            if (
+                body is not None
+                and socket_timeout_ms > 0
+                and sim_latency_ms_py(t.url_canon) >= socket_timeout_ms
+            ):
+                body = None
 
             if t.kind == "feed":
                 fc = t.feed_canon

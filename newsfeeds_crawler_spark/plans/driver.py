@@ -22,11 +22,12 @@ mid-epoch kill resumable (state advances only via Catalog.commit_epoch).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from newsfeeds_crawler_spark.functions.httpsim import socket_timeout_ms
 from newsfeeds_crawler_spark.functions.predicates import should_fetch
 from newsfeeds_crawler_spark.functions.urls import (
     canonicalize_url,
@@ -99,6 +100,14 @@ class CrawlConfig:
     # run reads 10^4 dirs per log scan; compaction rewrites the log as one
     # snapshot (old dirs become unreachable -> vacuum). 0 = never.
     compact_log_every: int = 0
+    # typed ``httpClient.*`` map from the .properties config (ref
+    # DefaultHttpFacade.scala:96-103 sets each on HttpClient). The engine
+    # consumes ``http.socket.timeout``: fetches whose simulated latency
+    # (functions/httpsim.py) reaches it get a null body, the reference's
+    # exception→null routing (HttpManager.scala:112-121). Everything else
+    # is transport tuning with no corpus-join analog — parsed, carried,
+    # intentionally inert.
+    client_http_params: dict = field(default_factory=dict)
 
 
 class CrawlEngine:
@@ -441,7 +450,13 @@ class CrawlEngine:
                 ("parsed", parse_feed_udf.returnType),
                 ("caption_x", "string"),
             ),
-        )
+            socket_timeout_ms=socket_timeout_ms(cfg.client_http_params),
+        ).localCheckpoint(eager=True)
+        # ^ second (cheap) checkpoint: the union itself is UDF-free — the
+        # expensive stages materialized inside the hits checkpoint — but
+        # without it every one of the tick's ~10 downstream jobs would
+        # rebuild the misses anti-join's broadcast of the hits keys
+        # (measured: the rebuilds cost more than one extra trivial job)
         _mark("fetch")
         feeds_f = fetched.filter(F.col("kind") == "feed")
         arts_f = fetched.filter(F.col("kind") == "article")

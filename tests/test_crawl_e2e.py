@@ -512,3 +512,44 @@ def test_mixed_rss_atom_corpus_exact(spark, tmp_path):
     got_feeds = {r["feed_canon"]: r["last_pub_ts"] for r in eng.feeds_final().collect()}
     want_feeds = {fc: f["last_pub_ts"] for fc, f in oracle.feeds.items()}
     assert got_feeds == want_feeds
+
+
+def test_socket_timeout_exact_vs_oracle(spark, tmp_path):
+    """clientHttpParams consumption (ref DefaultHttpFacade.scala:96-103):
+    with http.socket.timeout set, fetches whose deterministic simulated
+    latency reaches it yield null bodies (the reference's exception→null
+    routing, HttpManager.scala:112-121) — and the engine must still match
+    the oracle's crawl order / seen set / feed states exactly."""
+    from newsfeeds_crawler_spark.functions.httpsim import (
+        SOCKET_TIMEOUT_PARAM,
+        sim_latency_ms_py,
+    )
+
+    corpus = synthesize(CorpusSpec(n_feeds=6, items_per_feed=8, n_hosts=5))
+    timeout = 15_000  # latencies are uniform-ish over [0, 30s)
+
+    # the timeout is non-trivial on this corpus: some 200 pages survive,
+    # some time out (else the test would pass vacuously)
+    live = [p.url_canon for p in corpus.pages.values() if p.status == 200]
+    lat = [sim_latency_ms_py(u) for u in live]
+    assert any(l >= timeout for l in lat) and any(l < timeout for l in lat)
+
+    oracle = simulate(corpus, socket_timeout_ms=timeout)
+    baseline = simulate(corpus)
+    assert oracle.crawl_order != baseline.crawl_order  # timeouts changed the run
+
+    eng = _mk_engine(
+        spark, corpus, str(tmp_path / "sockto"),
+        client_http_params={SOCKET_TIMEOUT_PARAM: timeout},
+    )
+    eng.run()
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in eng.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order
+    got_seen = {r["url_canon"]: r["pub_ts"] for r in eng.articles_final().collect()}
+    assert got_seen == oracle.seen
+    got_feeds = {r["feed_canon"]: r["state"] for r in eng.feeds_final().collect()}
+    want_feeds = {fc: f["state"] for fc, f in oracle.feeds.items()}
+    assert got_feeds == want_feeds

@@ -1,0 +1,87 @@
+"""Per-epoch fixed-cost regression pin: JOBS launched per steady tick.
+
+Wall-clock on this shared host swings ±30% from co-tenant steal, so the
+epoch-cost guard pins the noise-free proxy instead: the number of Spark
+jobs a steady-state tick launches. The tick DAG is deterministic (fixed
+config ⇒ fixed plan ⇒ fixed job count modulo AQE's ±ε), so a structural
+regression — a phase that stops being fused, a collect that sneaks into a
+loop, a write that stops overlapping — shows up as a job-count jump long
+before it is measurable through the noise.
+
+Measured reference points (8 cores, 20-feed synth corpus):
+  - scale-path defaults (bloom + seen/corpus/frontier buckets 16): ~68
+  - all bucketing off: ~50
+Bounds below leave ~20% headroom over those.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from newsfeeds_crawler_spark.functions.urls import host_bucket
+from newsfeeds_crawler_spark.plans import CrawlConfig, CrawlEngine
+from newsfeeds_crawler_spark.synth import CorpusSpec, synthesize
+from newsfeeds_crawler_spark.synth.tables import (
+    corpus_df,
+    hosts_df,
+    preseen_df,
+    seeds_df,
+)
+
+
+def _jobs_store(spark):
+    try:
+        return spark.sparkContext._jsc.sc().statusStore()
+    except Exception:  # pragma: no cover - private API moved
+        pytest.skip("statusStore not reachable on this Spark build")
+
+
+def _steady_tick_jobs(spark, cfg: CrawlConfig, ticks: int = 4) -> int:
+    corpus = synthesize(CorpusSpec(n_feeds=20, items_per_feed=20, n_hosts=8))
+    eng = CrawlEngine(
+        spark, tempfile.mkdtemp(prefix="nfc_jobs_"),
+        corpus_df(spark, corpus), hosts_df(spark, corpus),
+        seeds_df(spark, corpus), preseen_df(spark, corpus), cfg,
+    )
+    store = _jobs_store(spark)
+    v = eng.init_state()
+    counts = {
+        r["b"]: r["n"]
+        for r in eng.cat.read("frontier", v["frontier"])
+        .filter(F.col("state") == "pending")
+        .groupBy(host_bucket(F.col("host"), cfg.num_host_buckets).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    last = 0
+    for tick in range(ticks):
+        j0 = store.jobsList(None).size()
+        r = eng._run_tick(tick, v, counts)
+        assert r is not None
+        v, meta, counts = r
+        eng.cat.commit_epoch(tick + 1, v, meta=meta)
+        last = store.jobsList(None).size() - j0
+    return last
+
+
+def test_steady_tick_job_count_default_scale_path(spark):
+    n = _steady_tick_jobs(spark, CrawlConfig(workers=16, max_epochs=8))
+    assert n <= 85, (
+        f"steady tick launched {n} jobs at scale-path defaults "
+        f"(reference ~68): a fixed-cost fusion regressed"
+    )
+
+
+def test_steady_tick_job_count_buckets_off(spark):
+    cfg = CrawlConfig(
+        workers=16, max_epochs=8, seen_filter="none",
+        seen_buckets=0, corpus_buckets=0, frontier_buckets=0,
+    )
+    n = _steady_tick_jobs(spark, cfg)
+    assert n <= 62, (
+        f"steady tick launched {n} jobs with bucketing off "
+        f"(reference ~50): a fixed-cost fusion regressed"
+    )

@@ -48,13 +48,21 @@ def main():
     ap.add_argument("--base", required=True, help="tree A (e.g. a git archive export)")
     ap.add_argument("--head", default=REPO, help="tree B (default: this repo)")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--base-args", default="",
+                    help="extra epoch_profile args for the base side only")
+    ap.add_argument("--head-args", default="",
+                    help="extra epoch_profile args for the head side only")
     ap.add_argument("extra", nargs="*", help="args after -- go to epoch_profile.py")
     args = ap.parse_args()
+    side_extra = {
+        "base": args.extra + args.base_args.split(),
+        "head": args.extra + args.head_args.split(),
+    }
 
     runs: dict[str, list[dict[int, float]]] = {"base": [], "head": []}
     for rep in range(args.reps):
         for name, tree in (("base", args.base), ("head", args.head)):
-            ticks = run_one(tree, args.extra)
+            ticks = run_one(tree, side_extra[name])
             runs[name].append(ticks)
             print(f"rep {rep} {name}: " + " ".join(
                 f"t{k}={v:.2f}" for k, v in sorted(ticks.items())
