@@ -499,15 +499,20 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U4 — multimodal plumbing: deterministic synthetic images encoded per
-    row (PPM/BMP/zlib-PNG by doc_id % 3) inside mapInPandas, then the real
-    decode_images operator; ok = decoded pixels byte-identical + phash match.
-    Rows-only check (no SQL-expressible oracle for binary codecs)."""
+    row (PPM/BMP/zlib-PNG/lossy-DCT by doc_id % 4) inside mapInPandas, then
+    the real decode_images operator; a second mapInPandas independently
+    recomputes the source image and verifies ok = no decode error AND phash
+    match AND pixels exact for lossless / PSNR >= 40dB for lossy (the
+    input_hint invariant). Rows-only check (no SQL-expressible oracle for
+    binary codecs)."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
         BinaryType,
+        BooleanType,
+        IntegerType,
         LongType,
         StringType,
         StructField,
@@ -518,6 +523,12 @@ def q_image_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from newsfeeds_crawler_spark.operators.multimodal import decode_images
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 128).select("doc_id")
+    fmts = ["ppm", "bmp", "png", "dct"]
+
+    def _src(did: int) -> np.ndarray:
+        rng = np.random.default_rng(int(did))
+        return rng.integers(0, 256, size=(8, 12, 3), dtype=np.uint8)
+
     enc_schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -528,31 +539,61 @@ def q_image_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fmts = ["ppm", "bmp", "png"]
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
-                rng = np.random.default_rng(int(did))
-                img = rng.integers(0, 256, size=(8, 12, 3), dtype=np.uint8)
-                fmt = fmts[int(did) % 3]
-                rows.append(
-                    (int(did), codecs.encode_image(img, fmt), fmt,
-                     codecs.phash64(img))
+                img = _src(did)
+                fmt = fmts[int(did) % 4]
+                enc = codecs.encode_image(img, fmt)
+                # declared phash = phash of the DECODED pixels (exact for
+                # lossless; post-roundtrip for lossy — FIXTURES.md contract)
+                ph = codecs.phash64(
+                    codecs.decode_image(enc, fmt) if fmt in codecs.LOSSY else img
                 )
+                rows.append((int(did), enc, fmt, ph))
             yield pd.DataFrame(rows, columns=[f.name for f in enc_schema.fields])
 
-    encoded = d.mapInPandas(encode, enc_schema)
-    dec = decode_images(encoded)
-    return dec.select(
-        "doc_id",
-        "fmt",
-        F.col("dec_w").cast("int").alias("w"),
-        F.col("dec_h").cast("int").alias("h"),
-        (
-            F.col("decode_error").isNull()
-            & (F.col("dec_phash") == F.col("src_phash"))
-        ).alias("ok"),
+    dec = decode_images(d.mapInPandas(encode, enc_schema))
+    ver_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("fmt", StringType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("ok", BooleanType()),
+        ]
     )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                did, fmt = int(r["doc_id"]), r["fmt"]
+                ok = (
+                    pd.isna(r["decode_error"])
+                    and not pd.isna(r["dec_phash"])
+                    and int(r["dec_phash"]) == int(r["src_phash"])
+                )
+                if ok:
+                    src = _src(did)
+                    got = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8)
+                    ok = got.size == src.size
+                    if ok:
+                        got = got.reshape(src.shape)
+                        ok = (
+                            codecs.psnr(got, src) >= 40.0
+                            if fmt in codecs.LOSSY
+                            else bool(np.array_equal(got, src))
+                        )
+                rows.append(
+                    (did, fmt, int(r["dec_w"]), int(r["dec_h"]), bool(ok))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in ver_schema.fields])
+
+    return dec.select(
+        "doc_id", "fmt", "dec_w", "dec_h", "pixels", "decode_error",
+        "dec_phash", "src_phash",
+    ).mapInPandas(verify, ver_schema)
 
 
 def q_image_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,6 +658,95 @@ def q_image_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return resized.select("doc_id", "res_w", "res_h", "resized").mapInPandas(
         verify, ver_schema
+    )
+
+
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4d — image near-dup via perceptual hash: deterministic images with
+    PLANTED near-duplicates (odd doc_id = lightly perturbed copy of the
+    previous even doc_id's image), encoded in mixed formats (incl. the lossy
+    DCT one), decoded by the real decode_images operator, then paired by the
+    banded 64-bit hamming join (never all-pairs). Self-verification is
+    in-plan: a brute-force all-pairs bit_count join over the same decoded
+    hashes must produce the IDENTICAL pair set — full recall (pigeonhole)
+    and precision checked row by row. Rows-only (binary codecs have no SQL
+    oracle); ok must be true for every row and the planted pairs make the
+    result non-empty."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from newsfeeds_crawler_spark.functions import codecs
+    from newsfeeds_crawler_spark.operators.multimodal import (
+        decode_images,
+        phash_hamming_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 128).select("doc_id")
+    fmts = ["ppm", "bmp", "png", "dct"]
+
+    enc_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("bytes", BinaryType()),
+            StructField("fmt", StringType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rng = np.random.default_rng(did & ~1)  # pair shares a seed
+                img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+                if did % 2:  # planted near-dup: tiny additive perturbation
+                    img = np.clip(img.astype(np.int16) + 2, 0, 255).astype(
+                        np.uint8
+                    )
+                rows.append((did, codecs.encode_image(img, fmts[did % 4]),
+                             fmts[did % 4]))
+            yield pd.DataFrame(rows, columns=[f.name for f in enc_schema.fields])
+
+    dec = decode_images(d.mapInPandas(encode, enc_schema)).select(
+        "doc_id", "dec_phash"
+    ).localCheckpoint(eager=False)
+    MAX_DIST, BANDS = 3, 4
+    fast = phash_hamming_pairs(dec, "doc_id", "dec_phash", MAX_DIST, BANDS)
+    l, r = dec.alias("l"), dec.alias("r")
+    brute = (
+        l.crossJoin(r)
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.expr("bit_count(l.dec_phash ^ r.dec_phash)").cast("int").alias(
+                "hamming_brute"
+            ),
+        )
+        .filter(F.col("hamming_brute") <= MAX_DIST)
+    )
+    return (
+        fast.join(brute, ["id_a", "id_b"], "full_outer")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("hamming", "hamming_brute").alias("hamming"),
+            (
+                F.col("hamming").isNotNull()
+                & F.col("hamming_brute").isNotNull()
+                & (F.col("hamming") == F.col("hamming_brute"))
+            ).alias("ok"),
+        )
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -737,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_roundtrip": q_image_decode_roundtrip,
         "robots_parse": q_robots_parse,
         "image_resize_roundtrip": q_image_resize_roundtrip,
+        "image_phash_neardup": q_image_phash_neardup,
         "frame_sample": q_frame_sample,
     }
 

@@ -66,11 +66,13 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "text_stats",
     "text_lang_quality",
+    "text_bpe_tokens",
     "metrics_rollup",
     "dedup_rate_by_source",
     "robots_parse",
     "image_decode_roundtrip",
     "image_resize_roundtrip",
+    "image_phash_neardup",
     "frame_sample",
 ]
 

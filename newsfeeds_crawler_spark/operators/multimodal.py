@@ -112,6 +112,57 @@ def resize_images(
     return df.mapInPandas(run, schema)
 
 
+def phash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    phash_col: str = "dec_phash",
+    max_dist: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Image near-dup pairs by 64-bit perceptual-hash hamming distance.
+
+    Same banded-bucket shape as ``operators.dedup.simhash_hamming_pairs``
+    (pigeonhole: a pair within hamming distance ≤ bands − 1 shares at least
+    one untouched 64/bands-bit band ⇒ full recall, never an all-pairs join;
+    candidates are Σ bucket², verification one ``bit_count(a ^ b)`` each),
+    but over a SIGNED int64 hash: banding uses ``shiftrightunsigned`` + mask
+    instead of floor division, which is wrong for negative two's-complement
+    values. The id column keeps its input type (image_id is a string in the
+    input_hint corpus); output is (id_a, id_b, hamming) with id_a < id_b.
+    """
+    assert 2 <= bands <= 64 and 64 % bands == 0 and max_dist <= bands - 1
+    bw = 64 // bands
+    band_arr = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}_"),
+                F.shiftrightunsigned(F.col("ph"), b * bw)
+                .bitwiseAND(F.lit((1 << bw) - 1))
+                .cast("string"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        df.filter(F.col(phash_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(phash_col).alias("ph"))
+        .select("id", "ph", F.explode(band_arr).alias("bk"))
+    )
+    a = banded.select("bk", F.col("id").alias("id_a"), F.col("ph").alias("p_a"))
+    b = banded.select("bk", F.col("id").alias("id_b"), F.col("ph").alias("p_b"))
+    return (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("bit_count(p_a ^ p_b)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_dist)
+    )
+
+
 def sample_frames(df: DataFrame, every_n: int, frame_bytes: int,
                   video_col: str = "video") -> DataFrame:
     """STUB video frame sampler: the sandbox has no video codec, so the

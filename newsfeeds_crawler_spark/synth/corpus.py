@@ -58,7 +58,10 @@ class CorpusSpec:
     robots_frac: float = 0.08           # items under a disallowed path
     host_skew: float = 0.0              # >0 => zipf-ish host assignment
     img_size_range: tuple[int, int] = (8, 24)
-    fmts: tuple[str, ...] = ("ppm", "bmp", "png")
+    # "dct" is the lossy member (codecs.LOSSY): its stored phash is computed
+    # from the DECODED pixels (FIXTURES.md: "perceptual hash of decoded
+    # pixels"), so dec_phash == phash stays exact for every format
+    fmts: tuple[str, ...] = ("ppm", "bmp", "png", "dct")
     with_dead_feed: bool = True
     with_unparseable_feed: bool = True
     with_empty_feed: bool = True
@@ -258,12 +261,17 @@ def synthesize(spec: CorpusSpec | None = None) -> SynthCorpus:
                 else:
                     caption = None if no_cap else f"caption::{item_canon}::synthetic"
                     img, fmt, h, w = _mk_image(item_canon, spec)
+                    enc = codecs.encode_image(img, fmt)
+                    # phash declares the decoded pixels (FIXTURES.md), so for
+                    # a lossy fmt it is computed post-roundtrip — identical to
+                    # what any consumer of `image` can recompute
+                    ph_src = codecs.decode_image(enc, fmt) if fmt in codecs.LOSSY else img
                     pages[item_canon] = Page(
                         raw_item, item_canon, ahost2, "article", 200,
                         make_article_body(item_canon, caption),
                         pub_ts=pub, caption=caption,
-                        image=codecs.encode_image(img, fmt),
-                        w=w, h=h, fmt=fmt, phash=codecs.phash64(img),
+                        image=enc,
+                        w=w, h=h, fmt=fmt, phash=codecs.phash64(ph_src),
                     )
                 all_article_urls.append(raw_item)
 

@@ -82,20 +82,32 @@ def test_articles_captions_byte_exact_and_actions(crawl):
 
 
 def test_decoded_pixels_exact(crawl):
-    """input_hint: decoded-pixel allclose (lossless codecs ⇒ exact equality),
-    recomputed phash must equal the corpus-declared one."""
+    """input_hint: decoded-pixel allclose — exact equality vs a reference
+    decode of the stored bytes for every format, PSNR >= 40dB vs the
+    pre-encode source image where the format is lossy (codecs.LOSSY), and
+    the recomputed phash must equal the corpus-declared one."""
+    from newsfeeds_crawler_spark.synth.corpus import _mk_image
+
     corpus, oracle, eng = crawl
     rows = eng.articles_final().filter(F.col("action") != "preseen").collect()
     assert rows
+    fmts_seen = set()
     for r in rows:
         page = corpus.pages[r["url_canon"]]
+        fmts_seen.add(page.fmt)
         want = codecs.decode_image(page.image, page.fmt)
         got = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(
             r["h"], r["w"], 3
         )
         np.testing.assert_array_equal(got, want)
         assert r["dec_phash"] == r["phash"]
-        assert codecs.psnr(got, want) == float("inf")  # >= 40dB trivially
+        src = _mk_image(r["url_canon"], corpus.spec)[0]
+        if page.fmt in codecs.LOSSY:
+            assert codecs.psnr(got, src) >= 40.0  # input_hint lossy gate
+        else:
+            assert codecs.psnr(got, src) == float("inf")
+    # the corpus default mixes lossless + lossy, so the 40dB branch binds
+    assert fmts_seen & codecs.LOSSY and fmts_seen - codecs.LOSSY
 
 
 def test_feeds_terminal_states_and_watermarks(crawl):
