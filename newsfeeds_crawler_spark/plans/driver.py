@@ -219,6 +219,10 @@ class CrawlEngine:
             F.lit(None).cast("string").alias("fmt"),
             F.lit(None).cast("binary").alias("pixels"),
             F.lit(None).cast("long").alias("dec_phash"),
+            host_bucket(
+                url_host(F.col("url_canon"), canonical=True),
+                cfg.num_host_buckets,
+            ).alias("host_bucket"),
         )
         empty_metrics = self.spark.createDataFrame([], S.METRICS_SCHEMA)
         empty_errors = self.spark.createDataFrame([], S.ERRORS_SCHEMA)
@@ -245,7 +249,10 @@ class CrawlEngine:
             "seen_urls": seen_v,
             "hosts": self.cat.write("hosts", hosts0),
             "feeds": self.cat.write("feeds", feeds0),
-            "articles": self.cat.write("articles", arts0, mode="append"),
+            "articles": self.cat.write(
+                "articles", arts0, mode="append",
+                partition_by=["host_bucket"],
+            ),
             "metrics": self.cat.write("metrics", empty_metrics, mode="append"),
             "errors": self.cat.write("errors", empty_errors, mode="append"),
         }
@@ -618,6 +625,9 @@ class CrawlEngine:
                 "fmt",
                 "pixels",
                 "dec_phash",
+                host_bucket(F.col("host"), cfg.num_host_buckets).alias(
+                    "host_bucket"
+                ),
             )
         )
 
@@ -905,6 +915,7 @@ class CrawlEngine:
             "articles": lambda: cat.write(
                 "articles", article_rows.coalesce(big), mode="append",
                 base_version=v["articles"],
+                partition_by=["host_bucket"],  # north_star pixel/caption sink
             ),
             "metrics": w_metrics,
             "errors": lambda: cat.write(
@@ -1076,7 +1087,8 @@ class CrawlEngine:
                 compacted = latest_articles(cat.read("articles", versions["articles"]))
                 versions = dict(versions)
                 versions["articles"] = cat.write(
-                    "articles", compacted.localCheckpoint(eager=True), mode="overwrite"
+                    "articles", compacted.localCheckpoint(eager=True),
+                    mode="overwrite", partition_by=["host_bucket"],
                 )
                 cat.commit_epoch(tick + 1, versions, meta={"event": "compact"})
             tick += 1

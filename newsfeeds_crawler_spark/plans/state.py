@@ -90,6 +90,10 @@ ARTICLES_SCHEMA = StructType(
         StructField("fmt", StringType(), True),
         StructField("pixels", BinaryType(), True),     # decoded RGB (north_star)
         StructField("dec_phash", LongType(), True),    # recomputed from pixels
+        # hive-style partition column (north_star: pixels+captions written
+        # back "with explicit partitioning on host-bucket"); LAST because
+        # partition columns come last on read
+        StructField("host_bucket", IntegerType(), True),
     ]
 )
 

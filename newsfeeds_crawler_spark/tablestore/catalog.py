@@ -156,6 +156,10 @@ class Catalog:
                 dirs = self._manifest(name, base)["data_dirs"] + dirs
         m = dict(meta or {})
         m.setdefault("schema_json", df.schema.json())
+        if partition_by:
+            # hive-layout snapshot: read() must basePath each dir so the
+            # partition columns are restored (and pruned) on scan
+            m.setdefault("partition_by", list(partition_by))
         return self._commit(name, dirs, m)
 
     # -------------------------------------------------------------- read
@@ -192,6 +196,19 @@ class Catalog:
             schema = StructType.fromJson(json.loads(schema_json))
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self._tdir(name), d) for d in dirs]
+        if man["meta"].get("partition_by"):
+            # hive-partitioned snapshots (e.g. articles by host_bucket):
+            # each commit dir is its own partitioned root, so discovery
+            # needs a per-dir basePath; union keeps per-scan partition
+            # pruning (PartitionFilters) intact. Append tables stay
+            # bounded by compaction, so the union width is small.
+            parts = [
+                self.spark.read.option("basePath", p).parquet(p) for p in paths
+            ]
+            df = parts[0]
+            for extra in parts[1:]:
+                df = df.unionByName(extra)
+            return df
         return self.spark.read.parquet(*paths)
 
     def read_committed(self, name: str) -> DataFrame:

@@ -565,3 +565,45 @@ def test_socket_timeout_exact_vs_oracle(spark, tmp_path):
     got_feeds = {r["feed_canon"]: r["state"] for r in eng.feeds_final().collect()}
     want_feeds = {fc: f["state"] for fc, f in oracle.feeds.items()}
     assert got_feeds == want_feeds
+
+
+def test_articles_partitioned_by_host_bucket(crawl):
+    """north_star: decoded pixels + captions are written back with explicit
+    partitioning on host-bucket — every committed articles snapshot dir is
+    hive-partitioned by host_bucket, the column round-trips through read,
+    its value matches a recompute from the row's host, and a host_bucket
+    filter prunes the scan (PartitionFilters, not a post-scan filter)."""
+    import os
+
+    from newsfeeds_crawler_spark.functions.urls import (
+        host_bucket as hb_col,
+        url_host,
+    )
+
+    corpus, oracle, eng = crawl
+    tdir = eng.cat._tdir("articles")
+    man = eng.cat._manifest("articles", eng.cat.current_version("articles"))
+    assert man["meta"].get("partition_by") == ["host_bucket"]
+    assert man["data_dirs"]  # empty-tick writes are excluded from the manifest
+    for rel in man["data_dirs"]:
+        d = os.path.join(tdir, rel)
+        subdirs = [s for s in os.listdir(d) if os.path.isdir(os.path.join(d, s))]
+        assert subdirs and all(s.startswith("host_bucket=") for s in subdirs), d
+
+    arts = eng.cat.read_committed("articles")
+    assert "host_bucket" in arts.columns
+    B = eng.cfg.num_host_buckets
+    mismatch = arts.filter(
+        F.col("host_bucket")
+        != hb_col(url_host(F.col("url_canon"), canonical=True), B)
+    ).count()
+    assert mismatch == 0
+    # partition pruning reaches the scan
+    some_bucket = arts.select("host_bucket").first()["host_bucket"]
+    plan = (
+        arts.filter(F.col("host_bucket") == some_bucket)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and "host_bucket" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
