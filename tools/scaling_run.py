@@ -120,6 +120,15 @@ def main():
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # rewrite only the scaling header; keep every hand-written "## ..."
+    # section (engine e2e numbers, epoch-cost A/B tables) that follows it
+    tail = ""
+    if os.path.exists(md):
+        with open(md) as f:
+            old = f.read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            tail = old[idx:]
     with open(md, "w") as f:
         f.write(
             "# BENCH baseline — crawl scheduling throughput + scaling\n\n"
@@ -157,6 +166,7 @@ def main():
             f"Raw: lo={json.dumps(lo['frontier'])} "
             f"hi={json.dumps(hi['frontier'])}\n"
         )
+        f.write(tail)
     print(json.dumps(result))
 
 
