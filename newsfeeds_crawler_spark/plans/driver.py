@@ -249,9 +249,14 @@ class CrawlEngine:
             "seen_urls": seen_v,
             "hosts": self.cat.write("hosts", hosts0),
             "feeds": self.cat.write("feeds", feeds0),
-            "articles": self.cat.write(
-                "articles", arts0, mode="append",
-                partition_by=["host_bucket"],
+            # articles live in a bucket-dir layout keyed on host_bucket
+            # (north_star: pixels+captions partitioned on host-bucket).
+            # Appends add bucket dirs next to the prior snapshot's, so the
+            # read stays ONE multi-path scan however many epochs append —
+            # never a union of partitioned roots.
+            "articles": self.cat.write_bucketed(
+                "articles", arts0, key="host_bucket",
+                num_buckets=cfg.num_host_buckets,
             ),
             "metrics": self.cat.write("metrics", empty_metrics, mode="append"),
             "errors": self.cat.write("errors", empty_errors, mode="append"),
@@ -912,10 +917,10 @@ class CrawlEngine:
             "seen_urls": w_seen,
             "hosts": lambda: cat.write("hosts", hosts_new.coalesce(small)),
             "feeds": lambda: cat.write("feeds", feeds_new.coalesce(small)),
-            "articles": lambda: cat.write(
-                "articles", article_rows.coalesce(big), mode="append",
-                base_version=v["articles"],
-                partition_by=["host_bucket"],  # north_star pixel/caption sink
+            "articles": lambda: cat.append_bucketed(
+                "articles", article_rows, key="host_bucket",
+                num_buckets=cfg.num_host_buckets,
+                base_version=v["articles"],  # north_star pixel/caption sink
             ),
             "metrics": w_metrics,
             "errors": lambda: cat.write(
@@ -1086,9 +1091,9 @@ class CrawlEngine:
             ):
                 compacted = latest_articles(cat.read("articles", versions["articles"]))
                 versions = dict(versions)
-                versions["articles"] = cat.write(
+                versions["articles"] = cat.write_bucketed(
                     "articles", compacted.localCheckpoint(eager=True),
-                    mode="overwrite", partition_by=["host_bucket"],
+                    key="host_bucket", num_buckets=cfg.num_host_buckets,
                 )
                 cat.commit_epoch(tick + 1, versions, meta={"event": "compact"})
             tick += 1
@@ -1114,6 +1119,26 @@ class CrawlEngine:
 
     def articles_final(self) -> DataFrame:
         return latest_articles(self.cat.read_committed("articles"))
+
+    def image_neardup_pairs(
+        self, max_dist: int = 3, bands: int = 4
+    ) -> DataFrame:
+        """Cross-feed near-duplicate images in the crawled output: banded
+        64-bit hamming join over the recomputed perceptual hash of every
+        decoded article image (operators/multimodal.phash_hamming_pairs —
+        full recall for ``max_dist`` ≤ bands−1, never an all-pairs join).
+        A training-data pipeline runs this post-crawl to drop visually
+        duplicate (image, caption) rows the URL-level seen store cannot
+        catch. Output: (id_a, id_b, hamming), ids = url_canon, id_a < id_b.
+        """
+        from newsfeeds_crawler_spark.operators.multimodal import (
+            phash_hamming_pairs,
+        )
+
+        arts = self.articles_final().filter(F.col("dec_phash").isNotNull())
+        return phash_hamming_pairs(
+            arts, "url_canon", "dec_phash", max_dist=max_dist, bands=bands
+        )
 
     def feeds_final(self) -> DataFrame:
         return self.cat.read_committed("feeds")

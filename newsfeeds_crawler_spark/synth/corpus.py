@@ -70,6 +70,11 @@ class CorpusSpec:
     # chosen per-feed by a crc32 of the canonical URL so existing corpora
     # (atom_frac=0) are byte-identical
     atom_frac: float = 0.0
+    # fraction of article pages whose image is a lightly perturbed copy of
+    # the most recent image page — planted NEAR-DUPLICATE images for the
+    # cross-feed image-dedup report. Gated by crc32 of the canonical URL
+    # (not the shared rng) so existing corpora (frac=0) are byte-identical.
+    image_neardup_frac: float = 0.0
 
 
 @dataclass
@@ -98,6 +103,9 @@ class SynthCorpus:
     seeds: list[str]                      # raw feed URLs, crawl roots
     hosts: dict[str, dict]                # host -> {crawl_delay_ms, disallow}
     preseen: dict[str, dict]              # url_canon -> {article_id, pub_ts, caption}
+    # planted near-dup image pairs (src_canon, dup_canon); empty unless
+    # spec.image_neardup_frac > 0
+    neardup_pairs: list = field(default_factory=list)
 
     def page(self, url_canon: str) -> Optional[Page]:
         return self.pages.get(url_canon)
@@ -206,6 +214,8 @@ def synthesize(spec: CorpusSpec | None = None) -> SynthCorpus:
     preseen: dict[str, dict] = {}
     seeds: list[str] = []
     all_article_urls: list[str] = []
+    neardup_pairs: list[tuple[str, str]] = []
+    last_img: tuple[str, np.ndarray] | None = None  # (url_canon, source img)
 
     article_id = 500  # reference BootstrapTest starts its id counter at 500
     for f in range(spec.n_feeds):
@@ -261,6 +271,24 @@ def synthesize(spec: CorpusSpec | None = None) -> SynthCorpus:
                 else:
                     caption = None if no_cap else f"caption::{item_canon}::synthetic"
                     img, fmt, h, w = _mk_image(item_canon, spec)
+                    # planted image near-dup: this page's image becomes a
+                    # lightly perturbed copy of the latest image page's.
+                    # crc32-gated (not the shared rng) so frac=0 corpora
+                    # are byte-identical to pre-knob ones.
+                    if (
+                        spec.image_neardup_frac > 0
+                        and last_img is not None
+                        and (zlib.crc32(b"neardup:" + item_canon.encode()) % 1000)
+                        < spec.image_neardup_frac * 1000
+                    ):
+                        src_canon, src_img = last_img
+                        img = np.clip(
+                            src_img.astype(np.int16) + 2, 0, 255
+                        ).astype(np.uint8)
+                        h, w = img.shape[:2]
+                        neardup_pairs.append((src_canon, item_canon))
+                    else:
+                        last_img = (item_canon, img)
                     enc = codecs.encode_image(img, fmt)
                     # phash declares the decoded pixels (FIXTURES.md), so for
                     # a lossy fmt it is computed post-roundtrip — identical to
@@ -303,4 +331,7 @@ def synthesize(spec: CorpusSpec | None = None) -> SynthCorpus:
             body, feed_pub_ts=feed_pub, items=items,
         )
 
-    return SynthCorpus(spec=spec, pages=pages, seeds=seeds, hosts=hosts, preseen=preseen)
+    return SynthCorpus(
+        spec=spec, pages=pages, seeds=seeds, hosts=hosts, preseen=preseen,
+        neardup_pairs=neardup_pairs,
+    )

@@ -293,6 +293,43 @@ class Catalog:
         m.setdefault("schema_json", df.schema.json())
         return self._commit(name, dirs, m)
 
+    def append_bucketed(
+        self,
+        name: str,
+        df: DataFrame,
+        key: str = "url_hash",
+        num_buckets: int = 64,
+        base_version: int | None = None,
+        meta: dict | None = None,
+    ) -> int:
+        """Append rows to a bucketed table: new bucket-level dirs for the
+        incoming rows are committed ALONGSIDE the prior snapshot's dirs
+        (several dirs per bucket accumulate; read concatenates them in one
+        multi-path scan, and ``buckets=`` pruning still works dir-by-dir).
+        The grow-only-log analog of append-mode :meth:`write` for tables
+        that want an explicit bucket layout (e.g. articles partitioned on
+        host bucket) without the union-of-partitioned-roots read shape.
+
+        ``base_version``: chain from the epoch-pinned version (crash-safe
+        idempotent replay, same contract as append-mode :meth:`write`).
+        """
+        new_dirs = self._write_bucket_dirs(name, df, key, num_buckets)
+        dirs = list(new_dirs)
+        if self.exists(name):
+            base = self.current_version(name) if base_version is None else base_version
+            if base > 0:
+                man = self._manifest(name, base)
+                if man["meta"].get("num_buckets") not in (None, num_buckets):
+                    raise ValueError(
+                        f"table {name!r} is bucketed {man['meta']['num_buckets']}, "
+                        f"append used {num_buckets}"
+                    )
+                dirs = man["data_dirs"] + dirs
+        m = dict(meta or {})
+        m.update({"bucketed_key": key, "num_buckets": num_buckets})
+        m.setdefault("schema_json", df.schema.json())
+        return self._commit(name, sorted(dirs, key=self._bucket_of), m)
+
     def merge_bucketed(
         self,
         name: str,

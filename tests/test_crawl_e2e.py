@@ -569,26 +569,23 @@ def test_socket_timeout_exact_vs_oracle(spark, tmp_path):
 
 def test_articles_partitioned_by_host_bucket(crawl):
     """north_star: decoded pixels + captions are written back with explicit
-    partitioning on host-bucket — every committed articles snapshot dir is
-    hive-partitioned by host_bucket, the column round-trips through read,
-    its value matches a recompute from the row's host, and a host_bucket
-    filter prunes the scan (PartitionFilters, not a post-scan filter)."""
-    import os
-
+    partitioning on host-bucket — every committed articles dir is a
+    bucket-level ``__bucket=N`` dir (manifest-tracked, so the read is ONE
+    multi-path scan however many epochs append), the host_bucket column
+    matches a recompute from the row's host, the dir each row lives in
+    matches its host_bucket, and a bucket-pruned read lists only that
+    bucket's files."""
     from newsfeeds_crawler_spark.functions.urls import (
         host_bucket as hb_col,
         url_host,
     )
 
     corpus, oracle, eng = crawl
-    tdir = eng.cat._tdir("articles")
     man = eng.cat._manifest("articles", eng.cat.current_version("articles"))
-    assert man["meta"].get("partition_by") == ["host_bucket"]
-    assert man["data_dirs"]  # empty-tick writes are excluded from the manifest
-    for rel in man["data_dirs"]:
-        d = os.path.join(tdir, rel)
-        subdirs = [s for s in os.listdir(d) if os.path.isdir(os.path.join(d, s))]
-        assert subdirs and all(s.startswith("host_bucket=") for s in subdirs), d
+    assert man["meta"].get("bucketed_key") == "host_bucket"
+    assert man["meta"].get("num_buckets") == eng.cfg.num_host_buckets
+    assert man["data_dirs"]  # empty-tick appends add no dirs
+    assert all("__bucket=" in d for d in man["data_dirs"])
 
     arts = eng.cat.read_committed("articles")
     assert "host_bucket" in arts.columns
@@ -598,12 +595,67 @@ def test_articles_partitioned_by_host_bucket(crawl):
         != hb_col(url_host(F.col("url_canon"), canonical=True), B)
     ).count()
     assert mismatch == 0
-    # partition pruning reaches the scan
-    some_bucket = arts.select("host_bucket").first()["host_bucket"]
-    plan = (
-        arts.filter(F.col("host_bucket") == some_bucket)
-        ._jdf.queryExecution().executedPlan().toString()
+    # bucket pruning: a pruned read lists ONLY that bucket's files and
+    # returns exactly the rows whose host_bucket equals it
+    some_bucket = int(arts.select("host_bucket").first()["host_bucket"])
+    pruned = eng.cat.read(
+        "articles", eng.cat.current_version("articles"), buckets={some_bucket}
     )
-    assert "PartitionFilters: [" in plan and "host_bucket" in plan.split(
-        "PartitionFilters", 1
-    )[1][:200]
+    assert pruned.inputFiles() and all(
+        f"__bucket={some_bucket}/" in f for f in pruned.inputFiles()
+    )
+    assert (
+        pruned.count()
+        == arts.filter(F.col("host_bucket") == some_bucket).count()
+    )
+    # rows physically live in their own bucket's dir
+    assert pruned.filter(F.col("host_bucket") != some_bucket).count() == 0
+
+
+def test_image_neardup_report_matches_bruteforce(spark, tmp_path):
+    """Cross-feed image dedup over crawl output: the engine's banded phash
+    hamming report must equal a python brute-force over the crawled pages'
+    declared phashes (dec_phash == phash is pinned elsewhere), and it must
+    recover the corpus's PLANTED near-dup image pairs that were actually
+    crawled."""
+    corpus = synthesize(
+        CorpusSpec(n_feeds=8, items_per_feed=10, n_hosts=6,
+                   image_neardup_frac=0.35)
+    )
+    assert corpus.neardup_pairs  # the knob planted some
+    oracle = simulate(corpus)
+
+    eng = _mk_engine(spark, corpus, str(tmp_path / "neardup"))
+    eng.run()
+
+    MAX_DIST = 3
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in eng.image_neardup_pairs(max_dist=MAX_DIST).collect()
+    }
+
+    # brute force over the phashes of the articles the crawl actually
+    # stored (caption-less / dead pages never reach the table, and a URL
+    # appears once however many feeds list it)
+    crawled = sorted(
+        u for u, o in oracle.articles.items() if o["phash"] is not None
+    )
+    ph = {u: corpus.pages[u].phash for u in crawled}
+    want = set()
+    for i, a in enumerate(crawled):
+        for b in crawled[i + 1:]:
+            lo, hi = (a, b) if a < b else (b, a)
+            d = bin((ph[a] ^ ph[b]) & ((1 << 64) - 1)).count("1")
+            if d <= MAX_DIST:
+                want.add((lo, hi, d))
+    assert got == want
+
+    # at least one PLANTED pair was crawled on both sides and recovered
+    crawled_set = set(crawled)
+    planted_crawled = {
+        (min(a, b), max(a, b))
+        for a, b in corpus.neardup_pairs
+        if a in crawled_set and b in crawled_set
+    }
+    found_pairs = {(a, b) for a, b, _ in got}
+    assert planted_crawled and planted_crawled & found_pairs

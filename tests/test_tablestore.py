@@ -223,3 +223,52 @@ def test_bucketed_merge_composite_key_deletes_and_expr_bucket(spark, tmp_path):
     # only h0's bucket was rewritten: the other dirs carried over
     d2 = set(cat._manifest("frontier", v2)["data_dirs"])
     assert len(d1 & d2) >= 1
+
+
+def test_append_bucketed_accumulates_dirs_and_prunes(spark, tmp_path):
+    """append_bucketed adds bucket dirs NEXT TO the prior snapshot's (no
+    rewrite, no union-of-roots read), keeps the bucket-key column in the
+    data, and buckets= pruning reads only the asked-for dirs across all
+    appended commits."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    df1 = _df(spark, [(0, "a"), (1, "b"), (5, "c")], ("hb", "v"))
+    v1 = cat.write_bucketed("t", df1, key="hb", num_buckets=4)
+    df2 = _df(spark, [(0, "d"), (2, "e")], ("hb", "v"))
+    v2 = cat.append_bucketed("t", df2, key="hb", num_buckets=4, base_version=v1)
+
+    # snapshot 2 references snapshot 1's dirs verbatim plus the new ones
+    d1 = set(cat._manifest("t", v1)["data_dirs"])
+    d2 = set(cat._manifest("t", v2)["data_dirs"])
+    assert d1 < d2 and all("__bucket=" in d for d in d2)
+
+    got = {(r["hb"], r["v"]) for r in cat.read("t").collect()}
+    assert got == {(0, "a"), (1, "b"), (5, "c"), (0, "d"), (2, "e")}
+
+    # bucket pruning spans both commits: hb pmod 4 — bucket 0 holds 0,0; 1
+    # holds 1 and 5
+    p0 = cat.read("t", buckets={0})
+    assert {(r["hb"], r["v"]) for r in p0.collect()} == {(0, "a"), (0, "d")}
+    assert all("__bucket=0/" in f for f in p0.inputFiles())
+    p1 = cat.read("t", buckets={1})
+    assert {r["v"] for r in p1.collect()} == {"b", "c"}
+
+
+def test_append_bucketed_replay_from_pinned_base_is_idempotent(spark, tmp_path):
+    """Re-running a torn tick's append from the epoch-pinned base must not
+    double the rows (same contract as append-mode write)."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    v1 = cat.write_bucketed("t", _df(spark, [(0, "a")], ("hb", "v")),
+                            key="hb", num_buckets=2)
+    rows = _df(spark, [(1, "x")], ("hb", "v"))
+    cat.append_bucketed("t", rows, key="hb", num_buckets=2, base_version=v1)
+    # crash before commit_epoch; replay appends the same rows from v1 again
+    v3 = cat.append_bucketed("t", rows, key="hb", num_buckets=2, base_version=v1)
+    assert cat.read("t", v3).count() == 2  # not 3
+    # empty append is a no-op data-wise but still commits a snapshot
+    v4 = cat.append_bucketed(
+        "t", rows.limit(0), key="hb", num_buckets=2, base_version=v3
+    )
+    assert cat.read("t", v4).count() == 2
+    # bucket-count mismatch is rejected
+    with pytest.raises(ValueError):
+        cat.append_bucketed("t", rows, key="hb", num_buckets=8, base_version=v4)
