@@ -412,6 +412,25 @@ def q_similarity_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 (codebook = vec_id % 25 == 0 rows,
+    64-dim vectors in 8 subspaces): the corpus is searched through its
+    8-code representation only — the billion-vector memory path. Exact
+    DuckDB mirror (same codebook rows, same rounded subspace L2², same
+    j-ordered ADC fold), so this gate is hash-checked, not rows-only."""
+    from newsfeeds_crawler_spark.operators.similarity import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_topk(
+        e,
+        e.filter(F.col("vec_id") < 8),
+        e.filter(F.col("vec_id") % 25 == 0),
+        dim=64,
+        n_sub=8,
+        k=5,
+    )
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, IVF-cell blocked (sim >= 0.3)."""
     e = _t(spark, sf_dir, "embeddings")
@@ -857,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
         "similarity_brute_topk": q_similarity_brute_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
+        "similarity_pq_topk": q_similarity_pq_topk,
         "similarity_ivf_multiprobe": q_similarity_ivf_multiprobe,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_stats": q_text_stats,
@@ -887,6 +907,19 @@ def oracle_sql() -> dict[str, str]:
     )
     cos = cosine_sql("q_vec", "n_vec")
     ccos = cosine_sql("vec", "c_vec")
+
+    def _pq_l2(x: str, y: str) -> str:
+        """Per-subspace L2² mirror of operators.similarity._l2sq over the
+        8-wide slice at subspace ``j`` (column in scope): same left fold,
+        same double math, subtraction evaluated twice, rounded at 8 dp."""
+        xs = f"list_slice({x}, j*8 + 1, j*8 + 8)"
+        ys = f"list_slice({y}, j*8 + 1, j*8 + 8)"
+        diff = f"(__v::DOUBLE - ({ys})[__i]::DOUBLE)"
+        return (
+            f"round(list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform({xs}, (__v, __i) -> {diff} * {diff})), "
+            f"(__a, __p) -> __a + __p), 8)"
+        )
     sig = _minhash_sig_sql("hs")
     simhash_votes = ", ".join(
         f"sum(((h // {2**b}) % 2) * 2 - 1) AS v{b}" for b in range(SIMHASH_BITS)
@@ -1076,6 +1109,34 @@ def oracle_sql() -> dict[str, str]:
                    rank::INT AS rank
             FROM (SELECT *, row_number() OVER (
                       PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM s)
+            WHERE rank <= 5
+        """,
+        "similarity_pq_topk": f"""
+            WITH cb AS (SELECT vec_id AS cw, embedding AS c_vec
+                        FROM embeddings WHERE vec_id % 25 = 0),
+            v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+            subs AS (SELECT j FROM range(8) t(j)),
+            cd AS (SELECT id, j, cw, {_pq_l2('vec', 'c_vec')} AS d
+                   FROM v, cb, subs),
+            enc AS (SELECT id, j, cw FROM (
+                        SELECT id, j, cw, row_number() OVER (
+                            PARTITION BY id, j ORDER BY d, cw) AS rn
+                        FROM cd)
+                    WHERE rn = 1),
+            q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                  FROM embeddings WHERE vec_id < 8),
+            lut AS (SELECT q_id, j, cw, {_pq_l2('q_vec', 'c_vec')} AS d
+                    FROM q, cb, subs),
+            s AS (SELECT q_id, id,
+                         round(list_reduce(
+                             list_prepend(0.0::DOUBLE, list(d ORDER BY j)),
+                             (__a, __p) -> __a + __p), 8) AS adc
+                  FROM enc JOIN lut USING (j, cw)
+                  WHERE id <> q_id GROUP BY q_id, id)
+            SELECT q_id::BIGINT AS q_id, id::BIGINT AS n_id, adc,
+                   rank::INT AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY q_id ORDER BY adc, id) AS rank FROM s)
             WHERE rank <= 5
         """,
         "similarity_ivf_multiprobe": f"""

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "similarity_brute_topk",
     "similarity_ivf_topk",
     "similarity_ivf_multiprobe",
+    "similarity_pq_topk",
     "dedup_simhash_hamming",
     "dedup_embedding_cosine",
     "text_stats",

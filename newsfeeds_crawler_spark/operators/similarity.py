@@ -190,6 +190,167 @@ def embedding_cosine_pairs(
     )
 
 
+def _l2sq(a: Column, b: Column) -> Column:
+    """Left-fold Σ (a_i−b_i)² in double (deterministic summation order;
+    the subtraction is evaluated twice instead of bound to a temp so the
+    DuckDB mirror — which has no lambda lets — is expression-identical)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode: (id, codes array<bigint>), one codeword
+    id per subspace (Jégou et al., IEEE TPAMI 2011 — public algorithm).
+
+    Each ``dim``-dim vector splits into ``n_sub`` contiguous subvectors;
+    code[j] = the codebook row whose j-th subvector is L2-nearest
+    (tie-break on codeword id; distances rounded to 8 dp so the DuckDB
+    mirror compares identical values). The codebook here is a caller-chosen
+    set of DATA rows — deterministic and SQL-mirrorable; at scale you would
+    k-means-train it, which changes the codebook, not this encode plan.
+    The encode is |corpus| × |codebook| × n_sub expression rows with the
+    codebook broadcast — the corpus never shuffles until the per-(id,
+    subspace) argmin aggregate, which is map-side partial.
+    """
+    assert dim % n_sub == 0, (dim, n_sub)
+    d_sub = dim // n_sub
+    cw = F.broadcast(
+        codebook.select(
+            F.col(id_col).alias("cw"), F.col(vec_col).alias("c_vec")
+        )
+    )
+    pairs = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).crossJoin(cw)
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.round(
+                    _l2sq(
+                        F.slice(F.col("vec"), j * d_sub + 1, d_sub),
+                        F.slice(F.col("c_vec"), j * d_sub + 1, d_sub),
+                    ),
+                    8,
+                ).alias("d"),
+            )
+            for j in range(n_sub)
+        ]
+    )
+    ex = pairs.select(
+        "id", "cw", F.explode(subs).alias("s")
+    ).select("id", "cw", F.col("s.j").alias("j"), F.col("s.d").alias("d"))
+    best = ex.groupBy("id", "j").agg(F.min(F.struct("d", "cw")).alias("m"))
+    return best.groupBy("id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("j", F.col("m.cw").alias("cw")))
+            ),
+            lambda s: s["cw"].cast("bigint"),
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    n_sub: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance (ADC): the corpus is
+    stored as ``n_sub`` one-byte-ish codes instead of ``dim`` floats
+    (memory ÷ ~dim·4/n_sub — the billion-vector scale path), and a query
+    compares against codes via a per-query lookup table of
+    |codebook| × n_sub subspace distances, never touching corpus floats.
+
+    Shapes at scale: the LUT is queries × codebook × n_sub rows —
+    broadcastable for any sane query batch; the corpus side is |corpus| ×
+    n_sub exploded code rows joined to the broadcast LUT, then a map-side
+    partial sum per (query, vector). ADC sums fold in subspace order (and
+    round at 8 dp) so results are bit-stable and DuckDB-mirrorable.
+    Output: (q_id, n_id, adc, rank), rank 1..k by ascending distance,
+    tie-break on n_id; the query row itself is excluded.
+    """
+    enc = pq_encode(corpus, codebook, dim, n_sub, id_col, vec_col)
+    d_sub = dim // n_sub
+    cw = F.broadcast(
+        codebook.select(
+            F.col(id_col).alias("cw"), F.col(vec_col).alias("c_vec")
+        )
+    )
+    subs_q = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.round(
+                    _l2sq(
+                        F.slice(F.col("q_vec"), j * d_sub + 1, d_sub),
+                        F.slice(F.col("c_vec"), j * d_sub + 1, d_sub),
+                    ),
+                    8,
+                ).alias("d"),
+            )
+            for j in range(n_sub)
+        ]
+    )
+    lut = (
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+        .crossJoin(cw)
+        .select("q_id", F.col("cw"), F.explode(subs_q).alias("s"))
+        .select("q_id", "cw", F.col("s.j").alias("j"), F.col("s.d").alias("d"))
+    )
+    code_rows = enc.select(
+        "id", F.posexplode("codes").alias("j", "cw")
+    )
+    adc = (
+        code_rows.join(F.broadcast(lut), ["j", "cw"])
+        .filter(F.col("id") != F.col("q_id"))
+        .groupBy("q_id", "id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("j", "d"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["d"],
+                ),
+                8,
+            ).alias("adc")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").cast("bigint"),
+            F.col("id").cast("bigint").alias("n_id"),
+            "adc",
+            F.col("rank").cast("int"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

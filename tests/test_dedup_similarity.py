@@ -178,3 +178,59 @@ def test_simhash_hamming_pairs_full_recall_within_band_bound(spark):
             if d <= 2:
                 want.add((a, b, d))
     assert got == want
+
+
+def test_pq_topk_exact_duplicate_ranks_first(spark):
+    """PQ/ADC sanity: a vector's exact duplicate shares every code, so its
+    ADC distance is 0 and it ranks 1; encode emits one code per subspace;
+    codes reference real codebook ids."""
+    import numpy as np
+
+    from newsfeeds_crawler_spark.operators.similarity import (
+        pq_encode, pq_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    DIM, NSUB = 16, 4
+    base = [[float(x) for x in rng.normal(size=DIM)] for _ in range(30)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(100 + i, list(base[i])) for i in range(5)]  # planted exact dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codebook = df.filter(F.col("vec_id") % 3 == 0)
+
+    enc = {r["id"]: r["codes"] for r in pq_encode(df, codebook, DIM, NSUB).collect()}
+    cw_ids = {r["vec_id"] for r in codebook.collect()}
+    assert all(len(c) == NSUB and set(c) <= cw_ids for c in enc.values())
+    for i in range(5):
+        assert enc[i] == enc[100 + i]  # identical vectors -> identical codes
+
+    # ADC(q, x) depends only on x's CODES: for a planted duplicate it equals
+    # q's own quantization error — 0 exactly when q is itself a codeword
+    cw_vecs = {r["vec_id"]: r["embedding"] for r in codebook.collect()}
+    sub = DIM // NSUB
+
+    def py_adc(qv, codes):
+        tot = 0.0
+        for j, cw in enumerate(codes):
+            cv = cw_vecs[cw][j * sub : (j + 1) * sub]
+            qs = qv[j * sub : (j + 1) * sub]
+            tot += round(
+                sum((float(a) - float(b)) * (float(a) - float(b))
+                    for a, b in zip(qs, cv)), 8,
+            )
+        return round(tot, 8)
+
+    top = pq_topk(df, df.filter(F.col("vec_id") < 5), codebook, DIM, NSUB, k=35)
+    rows = {(r["q_id"], r["n_id"]): r for r in top.collect()}
+    for i in range(5):
+        r = rows[(i, 100 + i)]
+        import numpy as np  # float32 storage: quantize qv like Spark does
+        qv = np.asarray(base[i], dtype=np.float32)
+        assert abs(r["adc"] - py_adc(qv, enc[i])) < 1e-6
+    # codebook-member queries (0, 3) have zero quantization error: their
+    # duplicate sits at ADC exactly 0.0 and the rank-1 row is at 0.0 too
+    for i in (0, 3):
+        assert rows[(i, 100 + i)]["adc"] == 0.0
+        assert min(
+            r["adc"] for (q, _), r in rows.items() if q == i
+        ) == 0.0
