@@ -412,6 +412,19 @@ def q_similarity_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from the MinHash+LSH pairs: connected components
+    by iterative min-label propagation (operators/dedup.neardup_components)
+    — the keep-one-per-cluster view a training pipeline applies. The DuckDB
+    oracle computes the same closure with a recursive CTE, so the gate is
+    hash-checked end-to-end (shingles → signatures → bands → pairs →
+    components)."""
+    from newsfeeds_crawler_spark.operators.dedup import neardup_components
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    return neardup_components(pairs)
+
+
 def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-5 (codebook = vec_id % 25 == 0 rows,
     64-dim vectors in 8 subspaces): the corpus is searched through its
@@ -872,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_token_jaccard": q_dedup_token_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_components": q_dedup_minhash_components,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
         "similarity_brute_topk": q_similarity_brute_topk,
@@ -920,7 +934,29 @@ def oracle_sql() -> dict[str, str]:
             f"list_transform({xs}, (__v, __i) -> {diff} * {diff})), "
             f"(__a, __p) -> __a + __p), 8)"
         )
+
     sig = _minhash_sig_sql("hs")
+    # shared by dedup_minhash_lsh (the pair finder) and
+    # dedup_minhash_components (transitive closure over those pairs)
+    minhash_pairs_sql = f"""
+            WITH g AS (
+                SELECT doc_id, {shingles_sql('text', 3)} AS grams FROM documents),
+            h AS (
+                SELECT doc_id, grams,
+                       list_transform(grams, __g -> {fingerprint_sql('__g')}) AS hs
+                FROM g),
+            s AS (SELECT doc_id, grams, {sig} AS sig FROM h),
+            b AS (SELECT doc_id, grams,
+                         unnest({_band_keys_sql('sig')}) AS band_key FROM s),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                       a.grams AS g_a, b2.grams AS g_b
+                FROM b a JOIN b b2 USING (band_key)
+                WHERE a.doc_id < b2.doc_id)
+            SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, jaccard FROM (
+                SELECT id_a, id_b, {gjac} AS jaccard FROM cand)
+            WHERE jaccard >= 0.2
+        """
     simhash_votes = ", ".join(
         f"sum(((h // {2**b}) % 2) * 2 - 1) AS v{b}" for b in range(SIMHASH_BITS)
     )
@@ -1030,24 +1066,21 @@ def oracle_sql() -> dict[str, str]:
                  AND a.doc_id < b.doc_id)
             WHERE jaccard >= 0.2
         """,
-        "dedup_minhash_lsh": f"""
-            WITH g AS (
-                SELECT doc_id, {shingles_sql('text', 3)} AS grams FROM documents),
-            h AS (
-                SELECT doc_id, grams,
-                       list_transform(grams, __g -> {fingerprint_sql('__g')}) AS hs
-                FROM g),
-            s AS (SELECT doc_id, grams, {sig} AS sig FROM h),
-            b AS (SELECT doc_id, grams,
-                         unnest({_band_keys_sql('sig')}) AS band_key FROM s),
-            cand AS (
-                SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
-                       a.grams AS g_a, b2.grams AS g_b
-                FROM b a JOIN b b2 USING (band_key)
-                WHERE a.doc_id < b2.doc_id)
-            SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, jaccard FROM (
-                SELECT id_a, id_b, {gjac} AS jaccard FROM cand)
-            WHERE jaccard >= 0.2
+        "dedup_minhash_lsh": minhash_pairs_sql,
+        "dedup_minhash_components": f"""
+            WITH RECURSIVE
+            pairs AS ({minhash_pairs_sql}),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            verts AS (SELECT DISTINCT a AS v FROM edges),
+            reach(v, m) AS (
+                SELECT v, v FROM verts
+                UNION
+                SELECT e.a, r.m FROM edges e JOIN reach r ON r.v = e.b),
+            comp AS (SELECT v, min(m) AS c FROM reach GROUP BY v)
+            SELECT v::BIGINT AS doc_id, c::BIGINT AS component,
+                   (v = c) AS is_canonical
+            FROM comp
         """,
         "dedup_simhash_hamming": f"""
             WITH toks AS (

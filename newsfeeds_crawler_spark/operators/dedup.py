@@ -299,3 +299,68 @@ def simhash_hamming_pairs(
         )
         .filter(F.col("hamming") <= max_dist)
     )
+
+
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pair edges → duplicate CLUSTERS.
+
+    Pair finders (MinHash/SimHash/phash) emit edges; the keep-one-per-
+    cluster dedup a training pipeline actually applies needs the transitive
+    closure: components. Labels start as each vertex's own id and
+    iteratively take the min over neighbors — converges to the component
+    minimum in O(graph diameter) rounds; near-dup clusters are shallow
+    (quasi-cliques), so this terminates in a handful of one-shuffle-join
+    rounds with lineage truncated per round. At web scale with adversarial
+    diameters you would switch to the large-star/small-star algorithm
+    (Kiveris et al., SoCC'14 — same primitive ops, fewer rounds); the
+    output contract is identical.
+
+    Output: (doc_id, component, is_canonical) for every id in ``pairs``;
+    component = min id in the cluster, is_canonical = (doc_id == component)
+    — filter on it to keep exactly one representative per cluster.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("comp", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = edges.join(
+            labels, edges["b"] == labels["v"]
+        ).groupBy("a").agg(F.min("comp").alias("nc"))
+        new = (
+            labels.join(nbr_min, labels["v"] == nbr_min["a"], "left")
+            .select(
+                "v",
+                F.least(F.col("comp"), F.coalesce("nc", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:  # pragma: no cover - max_iter is far above any dup-cluster diameter
+        raise RuntimeError(f"components did not converge in {max_iter} rounds")
+    return labels.select(
+        F.col("v").alias("doc_id"),
+        F.col("comp").alias("component"),
+        (F.col("v") == F.col("comp")).alias("is_canonical"),
+    )

@@ -234,3 +234,40 @@ def test_pq_topk_exact_duplicate_ranks_first(spark):
         assert min(
             r["adc"] for (q, _), r in rows.items() if q == i
         ) == 0.0
+
+
+def test_neardup_components_multi_hop_chain(spark):
+    """Min-label propagation needs multiple rounds on a chain graph — pin
+    convergence and exact components on chains, a triangle, and isolated
+    pairs, vs a python union-find."""
+    from newsfeeds_crawler_spark.operators.dedup import neardup_components
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),      # 5-chain: diameter 4
+        (10, 11), (11, 12), (10, 12),        # triangle
+        (20, 21),                            # pair
+        (31, 30),                            # pair given in reverse order
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in neardup_components(df).collect()
+    }
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {v: (find(v), find(v) == v) for v in parent}
+    assert got == want
+    assert got[5] == (1, False) and got[12] == (10, False)
+    assert sum(1 for c, canon in got.values() if canon) == 4
