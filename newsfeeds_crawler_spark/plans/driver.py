@@ -58,7 +58,11 @@ class CrawlConfig:
     num_host_buckets: int = 16
     salt_partitions: int = 0         # >0 enables salted pre-rank (hot hosts)
     max_epochs: int = 10_000
-    compact_articles_every: int = 0  # 0 = never
+    # every N ticks, compact the articles buckets that accumulated more
+    # than articles_max_dirs_per_bucket append dirs (bucket-LOCAL rewrite,
+    # folded to latest-per-url; I/O ∝ oversized buckets). 0 = never.
+    compact_articles_every: int = 0
+    articles_max_dirs_per_bucket: int = 8
     # prune unreachable snapshot versions every N epochs (0 = never);
     # keeps the resume point plus one prior version per table
     vacuum_every: int = 0
@@ -1089,13 +1093,20 @@ class CrawlEngine:
                 cfg.compact_articles_every
                 and (tick + 1) % cfg.compact_articles_every == 0
             ):
-                compacted = latest_articles(cat.read("articles", versions["articles"]))
-                versions = dict(versions)
-                versions["articles"] = cat.write_bucketed(
-                    "articles", compacted.localCheckpoint(eager=True),
-                    key="host_bucket", num_buckets=cfg.num_host_buckets,
+                # bucket-local: rewrites ONLY long-appended buckets, folding
+                # their append-log rows to latest-per-url (url → host →
+                # host_bucket, so the per-url window is bucket-local); I/O ∝
+                # oversized buckets, never the table
+                v_new = cat.compact_buckets(
+                    "articles",
+                    max_dirs_per_bucket=cfg.articles_max_dirs_per_bucket,
+                    transform=latest_articles,
+                    base_version=versions["articles"],
                 )
-                cat.commit_epoch(tick + 1, versions, meta={"event": "compact"})
+                if v_new is not None:
+                    versions = dict(versions)
+                    versions["articles"] = v_new
+                    cat.commit_epoch(tick + 1, versions, meta={"event": "compact"})
             tick += 1
         return {"epochs": tick, "versions": versions}
 

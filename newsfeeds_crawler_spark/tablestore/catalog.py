@@ -330,6 +330,47 @@ class Catalog:
         m.setdefault("schema_json", df.schema.json())
         return self._commit(name, sorted(dirs, key=self._bucket_of), m)
 
+    def compact_buckets(
+        self,
+        name: str,
+        max_dirs_per_bucket: int = 8,
+        transform=None,
+        base_version: int | None = None,
+    ) -> int | None:
+        """Compact ONLY the buckets whose snapshot references more than
+        ``max_dirs_per_bucket`` dirs (long-appended buckets), concatenating
+        their rows — optionally through ``transform`` (e.g.
+        latest-row-per-key) — into one dir each. I/O ∝ data in oversized
+        buckets, never O(|table|): the scale answer to append_bucketed's
+        dir growth, where a full-table rewrite would dominate at 10^10
+        rows. ``transform`` MUST be bucket-local: correct only when its
+        grouping key determines the bucket key (articles: url_canon →
+        host → host_bucket, so latest-per-url_canon qualifies).
+
+        Returns the new version, or None when no bucket is oversized (no
+        snapshot is committed in that case).
+        """
+        from collections import Counter
+
+        base = self.current_version(name) if base_version is None else base_version
+        man = self._manifest(name, base)
+        key, B = man["meta"]["bucketed_key"], man["meta"]["num_buckets"]
+        counts = Counter(self._bucket_of(d) for d in man["data_dirs"])
+        fat = {b for b, n in counts.items() if n > max_dirs_per_bucket}
+        if not fat:
+            return None
+        fat_dirs = [d for d in man["data_dirs"] if self._bucket_of(d) in fat]
+        keep = [d for d in man["data_dirs"] if self._bucket_of(d) not in fat]
+        df = self.spark.read.parquet(
+            *[os.path.join(self._tdir(name), d) for d in fat_dirs]
+        )
+        if transform is not None:
+            df = transform(df)
+        new_dirs = self._write_bucket_dirs(name, df, key, B)
+        return self._commit(
+            name, sorted(keep + new_dirs, key=self._bucket_of), dict(man["meta"])
+        )
+
     def merge_bucketed(
         self,
         name: str,

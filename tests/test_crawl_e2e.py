@@ -659,3 +659,32 @@ def test_image_neardup_report_matches_bruteforce(spark, tmp_path):
     }
     found_pairs = {(a, b) for a, b, _ in got}
     assert planted_crawled and planted_crawled & found_pairs
+
+
+def test_articles_bucket_compaction_preserves_results(spark, tmp_path):
+    """compact_articles_every folds long-appended article buckets to
+    latest-per-url mid-crawl; final articles/crawl order must equal the
+    oracle exactly and per-bucket dir counts stay bounded."""
+    from collections import Counter
+
+    corpus = synthesize(CorpusSpec(n_feeds=8, items_per_feed=10, n_hosts=3))
+    oracle = simulate(corpus)
+    eng = _mk_engine(
+        spark, corpus, str(tmp_path / "ac"),
+        compact_articles_every=2, articles_max_dirs_per_bucket=2,
+    )
+    eng.run()
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in eng.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order
+    got_seen = {r["url_canon"]: r["pub_ts"] for r in eng.articles_final().collect()}
+    assert got_seen == oracle.seen
+
+    man = eng.cat._manifest("articles", eng.cat.current_version("articles"))
+    per_bucket = Counter(eng.cat._bucket_of(d) for d in man["data_dirs"])
+    # bounded: threshold dirs + at most compact_articles_every-1 appends
+    # since the last compaction tick
+    bound = 2 + eng.cfg.compact_articles_every
+    assert per_bucket and max(per_bucket.values()) <= bound, per_bucket

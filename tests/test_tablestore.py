@@ -272,3 +272,46 @@ def test_append_bucketed_replay_from_pinned_base_is_idempotent(spark, tmp_path):
     # bucket-count mismatch is rejected
     with pytest.raises(ValueError):
         cat.append_bucketed("t", rows, key="hb", num_buckets=8, base_version=v4)
+
+
+def test_compact_buckets_rewrites_only_fat_buckets(spark, tmp_path):
+    """compact_buckets folds ONLY buckets with more than max_dirs appends:
+    the fat bucket collapses to one dir (through the transform), thin
+    buckets keep their dirs verbatim, rows and pruning survive."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    # bucket key is the column itself (B=4): bucket 1 gets 4 appends,
+    # bucket 2 gets one
+    v = cat.write_bucketed("t", _df(spark, [(1, "a0"), (2, "z")], ("hb", "v")),
+                           key="hb", num_buckets=4)
+    for i in range(1, 4):
+        v = cat.append_bucketed("t", _df(spark, [(1, f"a{i}")], ("hb", "v")),
+                                key="hb", num_buckets=4, base_version=v)
+    dirs = cat._manifest("t", v)["data_dirs"]
+    assert sum(1 for d in dirs if cat._bucket_of(d) == 1) == 4
+
+    assert cat.compact_buckets("t", max_dirs_per_bucket=4, base_version=v) is None
+
+    v2 = cat.compact_buckets("t", max_dirs_per_bucket=3, base_version=v)
+    d2 = cat._manifest("t", v2)["data_dirs"]
+    assert sum(1 for d in d2 if cat._bucket_of(d) == 1) == 1
+    thin = [d for d in dirs if cat._bucket_of(d) == 2]
+    assert [d for d in d2 if cat._bucket_of(d) == 2] == thin  # untouched
+    got = {(r["hb"], r["v"]) for r in cat.read("t", v2).collect()}
+    assert got == {(1, "a0"), (1, "a1"), (1, "a2"), (1, "a3"), (2, "z")}
+
+    # with a (bucket-local) transform: keep max v per hb
+    from pyspark.sql import Window
+
+    def latest(df):
+        w = Window.partitionBy("hb").orderBy(F.col("v").desc())
+        return (df.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1).drop("__rn"))
+
+    v3 = cat.append_bucketed("t", _df(spark, [(1, "a4")], ("hb", "v")),
+                             key="hb", num_buckets=4, base_version=v2)
+    v4 = cat.compact_buckets("t", max_dirs_per_bucket=1, transform=latest,
+                             base_version=v3)
+    got = {(r["hb"], r["v"]) for r in cat.read("t", v4).collect()}
+    assert got == {(1, "a4"), (2, "z")}
+    p = cat.read("t", v4, buckets={1})
+    assert {r["v"] for r in p.collect()} == {"a4"}
