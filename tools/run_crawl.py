@@ -52,6 +52,10 @@ def main():
                     help="hash-bucket the frontier on xxhash64(host); the "
                          "per-epoch state transition rewrites only touched "
                          "buckets (0 = full copy-on-write rewrite)")
+    ap.add_argument("--compact-articles-every", type=int, default=0,
+                    help="every N ticks, fold article buckets that "
+                         "accumulated >8 append dirs to latest-per-url "
+                         "(bucket-local rewrite); 0 = never")
     ap.add_argument("--depth-weight", type=float, default=0.0)
     ap.add_argument("--recency-weight", type=float, default=0.0)
     ap.add_argument("--resume", action="store_true",
@@ -89,6 +93,7 @@ def main():
         seen_buckets=args.seen_buckets,
         corpus_buckets=args.corpus_buckets,
         frontier_buckets=args.frontier_buckets,
+        compact_articles_every=args.compact_articles_every,
         depth_weight=args.depth_weight,
         recency_weight=args.recency_weight,
     )
