@@ -229,40 +229,64 @@ def pq_encode(
     """
     assert dim % n_sub == 0, (dim, n_sub)
     d_sub = dim // n_sub
-    cw = F.broadcast(
-        codebook.select(
+    # PQ codebooks are MODEL STATE, small by construction (k codewords ×
+    # dim floats — k ≤ a few hundred), so the whole codebook travels as ONE
+    # broadcast row holding an array<struct<cw, v>> and the per-subspace
+    # argmin is an F.aggregate fold over that array: the encode is a
+    # MAP-ONLY projection — ZERO shuffle, O(1)-size expression tree. Two
+    # rejected shapes, for the record: crossJoin + per-(id, subspace)
+    # argmin aggregate shuffles |corpus| × k rows (the scale-killer at
+    # 10^10 vectors); unrolling the codebook into per-codeword literal
+    # expressions builds a k × n_sub-node tree that chokes codegen
+    # (measured minutes at k=80 for what should be milliseconds). The
+    # fold runs interpreted (Spark higher-order functions skip codegen),
+    # so local cost is ~k × n_sub interpreted steps per row — the price
+    # of the zero-shuffle shape; at scale it parallelizes embarrassingly
+    # and ships no data, which is the trade that matters.
+    cbs = sorted(
+        (int(r["cw"]), [float(x) for x in r["c_vec"]])
+        for r in codebook.select(
             F.col(id_col).alias("cw"), F.col(vec_col).alias("c_vec")
-        )
+        ).collect()
     )
-    pairs = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).crossJoin(cw)
-    subs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                F.round(
-                    _l2sq(
-                        F.slice(F.col("vec"), j * d_sub + 1, d_sub),
-                        F.slice(F.col("c_vec"), j * d_sub + 1, d_sub),
-                    ),
-                    8,
-                ).alias("d"),
+    if not cbs:
+        raise ValueError("empty PQ codebook")
+    cb_df = corpus.sparkSession.createDataFrame(
+        [([{"cw": cw, "v": v} for cw, v in cbs],)],
+        "__cb array<struct<cw: bigint, v: array<double>>>",
+    )
+
+    def code_for(j: int):
+        # left fold over the cw-sorted codebook with strict < keeps the
+        # smallest codeword id on rounded-distance ties — the same
+        # (rounded d, cw) ordering the SQL mirror's row_number uses
+        def step(acc, c):
+            d = F.round(
+                _l2sq(
+                    F.slice(F.col("__vec"), j * d_sub + 1, d_sub),
+                    F.slice(c["v"], j * d_sub + 1, d_sub),
+                ),
+                8,
             )
-            for j in range(n_sub)
-        ]
-    )
-    ex = pairs.select(
-        "id", "cw", F.explode(subs).alias("s")
-    ).select("id", "cw", F.col("s.j").alias("j"), F.col("s.d").alias("d"))
-    best = ex.groupBy("id", "j").agg(F.min(F.struct("d", "cw")).alias("m"))
-    return best.groupBy("id").agg(
-        F.transform(
-            F.sort_array(
-                F.collect_list(F.struct("j", F.col("m.cw").alias("cw")))
+            return F.when(
+                d < acc["d"], F.struct(d.alias("d"), c["cw"].alias("cw"))
+            ).otherwise(acc)
+
+        return F.aggregate(
+            F.col("__cb"),
+            F.struct(
+                F.lit(float("inf")).alias("d"),
+                F.lit(-1).cast("bigint").alias("cw"),
             ),
-            lambda s: s["cw"].cast("bigint"),
-        ).alias("codes")
+            step,
+        )["cw"]
+
+    return (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec"))
+        .crossJoin(F.broadcast(cb_df))
+        .select(
+            "id", F.array(*[code_for(j) for j in range(n_sub)]).alias("codes")
+        )
     )
 
 
