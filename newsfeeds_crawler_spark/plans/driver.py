@@ -1151,6 +1151,19 @@ class CrawlEngine:
             arts, "url_canon", "dec_phash", max_dist=max_dist, bands=bands
         )
 
+    def image_neardup_components(
+        self, max_dist: int = 3, bands: int = 4
+    ) -> DataFrame:
+        """Duplicate-image CLUSTERS in the crawled output: the transitive
+        closure of :meth:`image_neardup_pairs` via
+        operators.dedup.neardup_components. Output: (doc_id=url_canon,
+        component=lexicographic-min url in the cluster, is_canonical) —
+        filter ``is_canonical`` to keep one (image, caption) row per
+        visually-duplicate cluster."""
+        from newsfeeds_crawler_spark.operators.dedup import neardup_components
+
+        return neardup_components(self.image_neardup_pairs(max_dist, bands))
+
     def feeds_final(self) -> DataFrame:
         return self.cat.read_committed("feeds")
 

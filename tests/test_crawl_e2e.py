@@ -660,6 +660,27 @@ def test_image_neardup_report_matches_bruteforce(spark, tmp_path):
     found_pairs = {(a, b) for a, b, _ in got}
     assert planted_crawled and planted_crawled & found_pairs
 
+    # clusters: components over the same pairs vs a python union-find
+    comp = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in eng.image_neardup_components(max_dist=MAX_DIST).collect()
+    }
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in want:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_comp = {v: (find(v), find(v) == v) for v in parent}
+    assert comp == want_comp
+
 
 def test_articles_bucket_compaction_preserves_results(spark, tmp_path):
     """compact_articles_every folds long-appended article buckets to
