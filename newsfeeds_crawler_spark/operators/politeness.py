@@ -97,6 +97,7 @@ def admit(
     epoch: int,
     workers: int,
     salt_partitions: int = 0,
+    starvation_epochs: int = 0,
 ) -> DataFrame:
     """Admit up to ``workers`` tasks for this epoch, one per admissible host,
     FIFO order. Returns the admitted tasks with ``admit_rank`` (0-based).
@@ -117,6 +118,25 @@ def admit(
     )
     narrow = pending.select(*narrow_cols)
     key = _order_key(narrow)
+    age_cols: list[str] = []
+    if starvation_epochs > 0:
+        # starvation guard for the priority frontier: a row pending for
+        # >= starvation_epochs ticks escalates ahead of every fresh row
+        # (FIFO within the escalated class). Linear priority aging cannot
+        # do this — p_i − a·(t − e_i) shifts all rows by the same t term,
+        # leaving relative order fixed forever; a class flip is the
+        # minimal change that actually re-orders. No reference analog
+        # (the mailbox is FIFO and cannot starve); guards the north_star
+        # priority ordering.
+        narrow = narrow.withColumn(
+            "__age",
+            F.when(
+                F.lit(epoch) - F.col("e_epoch") >= starvation_epochs,
+                F.lit(0),
+            ).otherwise(F.lit(1)),
+        )
+        key = [F.col("__age"), *key]
+        age_cols = ["__age"]
     if salt_partitions > 0:
         w_salt = Window.partitionBy("host", "__salt").orderBy(*key)
         narrow = (
@@ -144,7 +164,7 @@ def admit(
     # ≤ k×P survivors) — no single-partition Window over all candidates,
     # which at 10^8 admissible hosts would be one task sorting everything.
     # The residual rank window then sees ≤ ``workers`` rows.
-    topk = cand.select(*FIFO_KEY, "host", *(
+    topk = cand.select(*FIFO_KEY, "host", *age_cols, *(
         ["priority"] if "priority" in cand.columns else []
     )).orderBy(*key).limit(workers)
     w_glob = Window.orderBy(*key)  # input bounded by limit(workers)

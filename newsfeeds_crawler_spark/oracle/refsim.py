@@ -96,6 +96,7 @@ def simulate(
     depth_weight: float = 0.0,
     recency_weight: float = 0.0,
     socket_timeout_ms: int = 0,
+    starvation_epochs: int = 0,
 ) -> OracleResult:
     """Both weights 0.0 -> constant priority -> the reference's pure
     mailbox FIFO. Non-zero weights replay the engine's priority frontier:
@@ -138,9 +139,19 @@ def simulate(
     last_access: dict[str, int] = {}
     epoch = 0
     while epoch < max_epochs:
+        # starvation guard (mirror of operators.politeness.admit): rows
+        # pending >= starvation_epochs ticks form an escalated class that
+        # outranks every fresh row; FIFO within the class
         pending = sorted(
             (t for t in tasks if t.state == "pending"),
-            key=lambda t: (t.priority, *t.key),
+            key=lambda t: (
+                0
+                if starvation_epochs > 0
+                and epoch - t.key[0] >= starvation_epochs
+                else 1,
+                t.priority,
+                *t.key,
+            ),
         )
         if not pending:
             break

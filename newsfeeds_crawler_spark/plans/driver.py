@@ -70,6 +70,11 @@ class CrawlConfig:
     # → pure FIFO, the reference-equivalence mode the oracle checks
     depth_weight: float = 0.0
     recency_weight: float = 0.0
+    # starvation guard for the priority frontier: a pending row older than
+    # this many ticks escalates ahead of every fresh row (FIFO within the
+    # escalated class). 0 = off. Irrelevant under pure FIFO (weights 0),
+    # which cannot starve.
+    starvation_epochs: int = 0
     # seen-probe prefilter (J2): "none" | "bloom" | "cuckoo" — cuckoo
     # supports deletion (recrawl-expiry), bloom is cheaper to build.
     # Defaults to the scale path (persisted bloom, delta-maintained) —
@@ -376,7 +381,10 @@ class CrawlEngine:
         # admitted ∪ denied) + ONE count job — the per-epoch fixed cost is
         # dominated by job count, not data volume, at small admitted sizes
         allowed, denied0 = robots_split(pending, hosts)
-        adm0 = admit(allowed, hosts, tick, cfg.workers, cfg.salt_partitions)
+        adm0 = admit(
+            allowed, hosts, tick, cfg.workers, cfg.salt_partitions,
+            starvation_epochs=cfg.starvation_epochs,
+        )
         # non-eager checkpoint + count: the count IS the materializing
         # action, so admission costs ONE job launch instead of two
         gate = (

@@ -709,3 +709,31 @@ def test_articles_bucket_compaction_preserves_results(spark, tmp_path):
     # since the last compaction tick
     bound = 2 + eng.cfg.compact_articles_every
     assert per_bucket and max(per_bucket.values()) <= bound, per_bucket
+
+
+def test_starvation_guard_exact_vs_oracle(spark, tmp_path):
+    """Starvation guard over the priority frontier: rows pending >=
+    starvation_epochs ticks escalate ahead of every fresh row (FIFO within
+    the escalated class). The engine must match the oracle's replay
+    exactly, the guard must actually re-order the crawl vs the unguarded
+    priority run, and the final seen set is unchanged (the guard changes
+    WHEN, never WHETHER)."""
+    corpus = synthesize(CorpusSpec(n_feeds=6, items_per_feed=8, n_hosts=2))
+    w = dict(depth_weight=2000.0, recency_weight=1e-6)
+    N = 3
+    oracle = simulate(corpus, **w, starvation_epochs=N)
+    unguarded = simulate(corpus, **w)
+    assert oracle.crawl_order != unguarded.crawl_order  # the guard bites
+    assert oracle.seen == unguarded.seen
+
+    eng = _mk_engine(
+        spark, corpus, str(tmp_path / "starve"), starvation_epochs=N, **w
+    )
+    eng.run()
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in eng.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order
+    got_seen = {r["url_canon"]: r["pub_ts"] for r in eng.articles_final().collect()}
+    assert got_seen == oracle.seen
