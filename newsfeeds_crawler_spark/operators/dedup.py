@@ -324,7 +324,13 @@ def neardup_components(
     component = min id in the cluster, is_canonical = (doc_id == component)
     — filter on it to keep exactly one representative per cluster.
     """
-    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # materialize the pair finder ONCE: the symmetrization union below
+    # references ``pairs`` twice, so an unmaterialized (possibly expensive —
+    # the full MinHash/LSH pipeline) plan would execute twice
+    pairs = pairs.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+    ).localCheckpoint(eager=True)
+    e = pairs
     edges = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
