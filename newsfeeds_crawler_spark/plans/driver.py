@@ -99,6 +99,17 @@ class CrawlConfig:
     # tasks leave HttpManager.taskList in place, HttpManager.scala:76-94 —
     # the list is never rebuilt.)
     frontier_buckets: int = 16
+    # > 0: keep the hosts dimension hash-bucketed on xxhash64(host) — the
+    # per-epoch politeness update (last_access_epoch for ≤ workers hosts)
+    # becomes a touched-bucket merge instead of an O(|hosts|) copy-on-write
+    # snapshot. (Reference analog: hostAccessMap is a POINT update,
+    # HttpManager.scala:122-124 — it never rewrites the map.)
+    hosts_buckets: int = 16
+    # > 0: same for the feeds table, bucketed on xxhash64(feed_canon) —
+    # per-epoch write ∝ feeds touched by this tick's outcomes/countdowns,
+    # never |feeds|. (Reference analog: UPDATE feed SET last_pub_date is
+    # one row, MysqlFeedArticleDao.scala:39-44.)
+    feeds_buckets: int = 16
     # liveness guard (ref FeedManager.scala:31-33,67-69 ReceiveTimeout =
     # maxWaitingTimeBeforeStop 60s): after this many CONSECUTIVE epochs
     # with zero admissions, quarantine the stuck pending rows into
@@ -250,14 +261,28 @@ class CrawlEngine:
             )
         else:
             f_v = self.cat.write("frontier", f0)
+        if cfg.hosts_buckets > 0:
+            hosts_v = self.cat.write_bucketed(
+                "hosts", hosts0, key="xxhash64(host)",
+                num_buckets=cfg.hosts_buckets,
+            )
+        else:
+            hosts_v = self.cat.write("hosts", hosts0)
+        if cfg.feeds_buckets > 0:
+            feeds_v = self.cat.write_bucketed(
+                "feeds", feeds0, key="xxhash64(feed_canon)",
+                num_buckets=cfg.feeds_buckets,
+            )
+        else:
+            feeds_v = self.cat.write("feeds", feeds0)
         versions = {
             "frontier": f_v,
             "frontier_log": self.cat.write(
                 "frontier_log", empty_frontier_log, mode="append"
             ),
             "seen_urls": seen_v,
-            "hosts": self.cat.write("hosts", hosts0),
-            "feeds": self.cat.write("feeds", feeds0),
+            "hosts": hosts_v,
+            "feeds": feeds_v,
             # articles live in a bucket-dir layout keyed on host_bucket
             # (north_star: pixels+captions partitioned on host-bucket).
             # Appends add bucket dirs next to the prior snapshot's, so the
@@ -421,6 +446,20 @@ class CrawlEngine:
                 F.pmod(F.col("url_hash"), F.lit(max(cfg.seen_buckets, 1)))
                 .cast("int"),
             ).alias("sb"),
+            # hosts-dim touched buckets: only ADMITTED hosts gain a new
+            # last_access_epoch this tick
+            F.when(
+                is_a,
+                F.pmod(F.xxhash64("host"), F.lit(max(cfg.hosts_buckets, 1)))
+                .cast("int"),
+            ).alias("hb"),
+            # feeds-table touched buckets: every gate row (admitted or
+            # denied, feed or article) contributes a feed outcome, an
+            # enqueue count, or a processed count to exactly its own feed
+            F.pmod(
+                F.xxhash64(F.coalesce("feed_canon", "url_canon")),
+                F.lit(max(cfg.feeds_buckets, 1)),
+            ).cast("int").alias("fb"),
         ).agg(F.count(F.lit(1)).alias("n")).collect()
         n_admitted = sum(r["n"] for r in gstats if r["__gate"] == "a")
         n_denied = sum(r["n"] for r in gstats if r["__gate"] == "d")
@@ -428,6 +467,8 @@ class CrawlEngine:
             {r["cb"] for r in gstats if r["cb"] is not None}
         )
         tb_articles = {r["sb"] for r in gstats if r["sb"] is not None}
+        tb_hosts = {r["hb"] for r in gstats if r["hb"] is not None}
+        tb_feeds = {r["fb"] for r in gstats if r["fb"] is not None}
         _mark("gate")
         if n_admitted == 0 and n_denied == 0:
             # counts are exact, so convergence (A3) and the stall total need
@@ -705,24 +746,33 @@ class CrawlEngine:
         )
 
         # ---- hosts politeness state (A4) ---------------------------------
-        hosts_new = (
-            hosts.join(
-                admitted.select("host").distinct().withColumn(
-                    "__la", F.lit(tick).cast("int")
-                ),
-                "host",
-                "left",
+        # only the admitted hosts change last_access_epoch this tick; the
+        # bucketed path merges just those rows (read+write ∝ touched
+        # buckets — ref: hostAccessMap point update, HttpManager.scala:
+        # 122-124). The legacy path keeps the full copy-on-write snapshot.
+        admitted_hosts = admitted.select("host").distinct()
+        if cfg.hosts_buckets > 0:
+            hosts_upd = (
+                cat.read("hosts", v["hosts"], buckets=tb_hosts)
+                .join(F.broadcast(admitted_hosts), "host", "inner")
+                .withColumn("last_access_epoch", F.lit(tick).cast("int"))
+                .select(*[f.name for f in S.HOSTS_SCHEMA.fields])
             )
-            .withColumn(
-                "last_access_epoch", F.coalesce("__la", "last_access_epoch")
+        else:
+            hosts_upd = (
+                hosts.join(
+                    admitted_hosts.withColumn("__la", F.lit(tick).cast("int")),
+                    "host",
+                    "left",
+                )
+                .withColumn(
+                    "last_access_epoch", F.coalesce("__la", "last_access_epoch")
+                )
+                .drop("__la")
+                .select(*[f.name for f in S.HOSTS_SCHEMA.fields])
             )
-            .drop("__la")
-            .select(*[f.name for f in S.HOSTS_SCHEMA.fields])
-        )
-
 
         # ---- feeds table: outcomes + watermark completion (A1/A2/S7) -----
-        feeds_t = cat.read("feeds", v["feeds"])
         fu = feed_out.unionByName(
             denied.filter(F.col("kind") == "feed").select(
                 F.col("url_canon").alias("u_feed"),
@@ -730,6 +780,18 @@ class CrawlEngine:
                 F.lit(None).cast("timestamp").alias("f_parsed_pub_ts"),
             )
         )
+        if cfg.feeds_buckets > 0:
+            # touched-rows-only update: every key fu / the countdown deltas
+            # touch is a gate row's feed_canon, so the pruned read +
+            # inner join reads ∝ touched buckets, never |feeds|. Untouched
+            # rows are IDENTITY under the update below (their coalesces and
+            # zero count deltas change nothing; a crawling feed always has
+            # pending_items > 0 until the tick that completes it, and that
+            # tick lists it in fu or the counts), so merging only touched
+            # rows is exactly the full-table pass.
+            feeds_t = cat.read("feeds", v["feeds"], buckets=tb_feeds)
+        else:
+            feeds_t = cat.read("feeds", v["feeds"])
         feeds_mid = feeds_t.join(
             fu, feeds_t["feed_canon"] == fu["u_feed"], "left"
         ).select(
@@ -918,6 +980,24 @@ class CrawlEngine:
                 )
             return cat.write("frontier", frontier_new.coalesce(big))
 
+        def w_hosts():
+            if cfg.hosts_buckets > 0:
+                # rewrite only the admitted hosts' buckets
+                return cat.merge_bucketed(
+                    "hosts", hosts_upd, on="host",
+                    base_version=v["hosts"], touched=tb_hosts,
+                )
+            return cat.write("hosts", hosts_upd.coalesce(small))
+
+        def w_feeds():
+            if cfg.feeds_buckets > 0:
+                # feeds_new holds (only) the touched buckets' updated rows
+                return cat.merge_bucketed(
+                    "feeds", feeds_new, on="feed_canon",
+                    base_version=v["feeds"], touched=tb_feeds,
+                )
+            return cat.write("feeds", feeds_new.coalesce(small))
+
         P = self.spark.sparkContext.defaultParallelism
         small, big = min(8, P), P
         jobs = {
@@ -927,8 +1007,8 @@ class CrawlEngine:
                 base_version=v["frontier_log"],
             ),
             "seen_urls": w_seen,
-            "hosts": lambda: cat.write("hosts", hosts_new.coalesce(small)),
-            "feeds": lambda: cat.write("feeds", feeds_new.coalesce(small)),
+            "hosts": w_hosts,
+            "feeds": w_feeds,
             "articles": lambda: cat.append_bucketed(
                 "articles", article_rows, key="host_bucket",
                 num_buckets=cfg.num_host_buckets,
@@ -1024,7 +1104,13 @@ class CrawlEngine:
         nv["errors"] = cat.write(
             "errors", errors_new, mode="append", base_version=v["errors"]
         )
-        nv["feeds"] = cat.write("feeds", feeds_new)
+        if self.cfg.feeds_buckets > 0:
+            nv["feeds"] = cat.write_bucketed(
+                "feeds", feeds_new, key="xxhash64(feed_canon)",
+                num_buckets=self.cfg.feeds_buckets,
+            )
+        else:
+            nv["feeds"] = cat.write("feeds", feeds_new)
         return nv
 
     # -------------------------------------------------------------- run

@@ -378,6 +378,7 @@ class Catalog:
         on: str | list[str],
         base_version: int | None = None,
         deletes: DataFrame | None = None,
+        touched: set[int] | None = None,
     ) -> int:
         """Upsert ``source`` into a bucketed table, rewriting ONLY the
         buckets the source keys hash into (source wins on ``on`` collision).
@@ -392,6 +393,11 @@ class Catalog:
 
         ``base_version``: chain from the epoch-pinned version (crash-safe
         idempotent replay, same contract as append-mode :meth:`write`).
+
+        ``touched``: precomputed SUPERSET of the source/delete keys' bucket
+        ids — callers that already know it (e.g. from a stats aggregate run
+        for other reasons) pass it to skip this method's touch-collect job.
+        Extra buckets only add target rows the anti-join keeps verbatim.
         """
         on_cols = [on] if isinstance(on, str) else list(on)
         base = self.current_version(name) if base_version is None else base_version
@@ -404,10 +410,11 @@ class Catalog:
                 F.pmod(F.expr(key), F.lit(B)).cast("int").alias("__bucket")
             )
 
-        touch_src = bucket_col(source)
-        if deletes is not None:
-            touch_src = touch_src.unionByName(bucket_col(deletes))
-        touched = {r["__bucket"] for r in touch_src.distinct().collect()}
+        if touched is None:
+            touch_src = bucket_col(source)
+            if deletes is not None:
+                touch_src = touch_src.unionByName(bucket_col(deletes))
+            touched = {r["__bucket"] for r in touch_src.distinct().collect()}
         old_dirs = man["data_dirs"]
         touched_old = [d for d in old_dirs if self._bucket_of(d) in touched]
         untouched = [d for d in old_dirs if self._bucket_of(d) not in touched]

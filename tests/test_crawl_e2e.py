@@ -497,6 +497,63 @@ def test_bucketed_frontier_same_semantics_and_touched_buckets(spark, tmp_path):
     assert carried_any, "no frontier snapshot carried over any bucket dir"
 
 
+def test_bucketed_hosts_feeds_same_semantics_and_touched_buckets(
+    spark, tmp_path
+):
+    """hosts/feeds as hash-bucketed catalog tables: the per-epoch politeness
+    update (≤ workers hosts) and feed outcome/countdown update (feeds the
+    tick touched) are touched-bucket merges — write I/O ∝ tick activity,
+    never O(|hosts|)/O(|feeds|) — and must not change crawl order, seen set,
+    feed watermarks, or resume."""
+    import json
+    import os
+
+    corpus = synthesize(CorpusSpec(n_feeds=5, items_per_feed=6, n_hosts=4))
+    oracle = simulate(corpus)
+    wd = str(tmp_path / "hf")
+    eng = _mk_engine(
+        spark, corpus, wd, hosts_buckets=8, feeds_buckets=8, max_epochs=3
+    )
+    eng.run()
+    resumed = _mk_engine(spark, corpus, wd, hosts_buckets=8, feeds_buckets=8)
+    resumed.run()
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in resumed.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order
+    got_seen = {
+        r["url_canon"]: r["pub_ts"] for r in resumed.articles_final().collect()
+    }
+    assert got_seen == oracle.seen
+    got_feeds = {
+        r["feed_canon"]: (r["state"], r["last_pub_ts"])
+        for r in resumed.feeds_final().collect()
+    }
+    want_feeds = {
+        fc: (f["state"], f["last_pub_ts"]) for fc, f in oracle.feeds.items()
+    }
+    assert got_feeds == want_feeds
+
+    # write I/O ∝ touched buckets: post-init snapshots carry over bucket
+    # dirs from their predecessor instead of rewriting every bucket
+    for table in ("hosts", "feeds"):
+        snapdir = os.path.join(wd, table, "_snapshots")
+        versions = sorted(
+            int(f[1:-5]) for f in os.listdir(snapdir) if f.startswith("v")
+        )
+        assert len(versions) >= 3, table
+        carried_any = False
+        for v1, v2 in zip(versions, versions[1:]):
+            with open(os.path.join(snapdir, f"v{v1}.json")) as f:
+                d1 = set(json.load(f)["data_dirs"])
+            with open(os.path.join(snapdir, f"v{v2}.json")) as f:
+                d2 = set(json.load(f)["data_dirs"])
+            if d1 & d2:
+                carried_any = True
+        assert carried_any, f"no {table} snapshot carried over any bucket dir"
+
+
 def test_mixed_rss_atom_corpus_exact(spark, tmp_path):
     """Atom feeds flow through the same Arrow parse UDF, probe, and
     watermark path — crawl order, seen set, and feed watermarks must be
