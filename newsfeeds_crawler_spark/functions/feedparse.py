@@ -37,6 +37,34 @@ def parse_rfc3339(s: str) -> Optional[datetime]:
 
 
 ATOM_NS = "{http://www.w3.org/2005/Atom}"
+RDF_NS = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"
+RSS1_NS = "{http://purl.org/rss/1.0/}"
+DC_NS = "{http://purl.org/dc/elements/1.1/}"
+
+
+def _parse_rdf(root) -> tuple[Optional[datetime], list]:
+    """RSS 1.0 (RDF-rooted — still common on legacy news sites; the
+    reference's ROME SyndFeedInput parses RSS 0.9x/1.0 transparently,
+    RomeFeedParser.scala:20-28). Structure differs from RSS 2.0: the root
+    is <rdf:RDF>, <item> elements live OUTSIDE <channel>, and timestamps
+    are W3CDTF <dc:date> (RFC 3339), not RFC 822 <pubDate>."""
+    feed_pub = None
+    channel = root.find(f"{RSS1_NS}channel")
+    if channel is not None:
+        fd = channel.find(f"{DC_NS}date")
+        if fd is not None and fd.text:
+            feed_pub = parse_rfc3339(fd.text)
+    items: list[tuple[str, Optional[datetime]]] = []
+    for item in root.findall(f"{RSS1_NS}item"):
+        link = item.find(f"{RSS1_NS}link")
+        if link is None or not (link.text or "").strip():
+            continue
+        ts = None
+        el = item.find(f"{DC_NS}date")
+        if el is not None and el.text:
+            ts = parse_rfc3339(el.text)
+        items.append((link.text.strip(), ts))
+    return feed_pub, items
 
 
 def _parse_atom(root) -> tuple[Optional[datetime], list]:
@@ -71,8 +99,9 @@ def _parse_atom(root) -> tuple[Optional[datetime], list]:
 def parse_feed_py(
     body: Optional[str],
 ) -> Optional[tuple[Optional[datetime], list[tuple[str, Optional[datetime]]]]]:
-    """Parse an RSS 2.0 or Atom 1.0 document (the reference's ROME
-    SyndFeedInput accepts both transparently, RomeFeedParser.scala:20-28).
+    """Parse an RSS 2.0, RSS 1.0 (RDF), or Atom 1.0 document (the
+    reference's ROME SyndFeedInput accepts all of these transparently,
+    RomeFeedParser.scala:20-28).
 
     Returns (feed_pub_ts, [(link, item_pub_ts), ...]) or None on a parse
     failure (the reference kills the feed on parser error,
@@ -88,6 +117,8 @@ def parse_feed_py(
         return None
     if root.tag == f"{ATOM_NS}feed":
         return _parse_atom(root)
+    if root.tag == f"{RDF_NS}RDF":
+        return _parse_rdf(root)
     channel = root.find("channel")
     if root.tag != "rss" or channel is None:
         return None

@@ -65,6 +65,76 @@ def priority_score(
     )
 
 
+def head_candidates(
+    cand: DataFrame, salt_partitions: int = 0
+) -> DataFrame:
+    """Top-1 pending row per host under the admission order key — the
+    incremental head-candidate state next to the bucketed frontier.
+
+    Valid ONLY for order keys that are a STATIC function of the row
+    (priority + FIFO key): a host's head then changes only when its pending
+    set changes, so the heads table is maintainable by recomputing just the
+    hosts touched by a tick's admissions/enqueues (the driver's w_heads).
+    The starvation guard's age-class flip is epoch-dependent and breaks
+    this invariant — the driver falls back to full-frontier admission when
+    it is enabled.
+
+    ``salt_partitions`` > 0 pre-ranks with a salted sub-window (same
+    hot-host skew treatment as :func:`admit`): rank-1-per-(host,salt)
+    first, then rank-1-per-host over the S survivors.
+    """
+    key = _order_key(cand)
+    if salt_partitions > 0:
+        w_salt = Window.partitionBy("host", "__salt").orderBy(*key)
+        cand = (
+            cand.withColumn(
+                "__salt", F.pmod(F.col("e_sub"), F.lit(salt_partitions))
+            )
+            .withColumn("__rs", F.row_number().over(w_salt))
+            .filter(F.col("__rs") == 1)
+            .drop("__salt", "__rs")
+        )
+    w_host = Window.partitionBy("host").orderBy(*key)
+    return (
+        cand.withColumn("__rn", F.row_number().over(w_host))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def admit_heads(
+    heads: DataFrame,
+    host_state: DataFrame,
+    epoch: int,
+    workers: int,
+) -> DataFrame:
+    """Admission over the per-host head-candidate table: ONE row per host,
+    so no per-host window is needed at all — the whole politeness gate is
+    a scan + admissibility filter (W3) + two-level top-k (W4, planned as
+    TakeOrderedAndProject) + a rank window over ≤ ``workers`` survivors.
+
+    Admission input rows ∝ #hosts-with-pending-work (the heads table),
+    never O(|pending frontier|) — the reference analog is that
+    HttpManager's skip-scan walks from the list HEAD and never re-sorts
+    the whole list (HttpManager.scala:76-94). Heads carry full frontier
+    rows, so there is no join back to the pending set either.
+    """
+    key = _order_key(heads)
+    cand = heads.join(
+        F.broadcast(host_state.select("host", "last_access_epoch", "delay_epochs")),
+        "host",
+        "left",
+    ).filter(
+        F.col("last_access_epoch").isNull()
+        | (F.lit(epoch) >= F.col("last_access_epoch") + F.col("delay_epochs"))
+    ).drop("last_access_epoch", "delay_epochs")
+    topk = cand.orderBy(*key).limit(workers)
+    w_glob = Window.orderBy(*key)  # input bounded by limit(workers)
+    return topk.drop("admit_rank").withColumn(
+        "admit_rank", F.row_number().over(w_glob) - 1
+    )
+
+
 def robots_split(pending: DataFrame, hosts: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split pending tasks into (allowed, denied) by robots disallow prefixes.
 

@@ -97,6 +97,7 @@ def simulate(
     recency_weight: float = 0.0,
     socket_timeout_ms: int = 0,
     starvation_epochs: int = 0,
+    feed_stall_epochs: int = 0,
 ) -> OracleResult:
     """Both weights 0.0 -> constant priority -> the reference's pure
     mailbox FIFO. Non-zero weights replay the engine's priority frontier:
@@ -136,9 +137,39 @@ def simulate(
             res.feeds[feed_canon]["last_pub_ts"] = feed_watermark.get(feed_canon)
             del feed_pending[feed_canon]
 
+    # per-feed liveness guard (FeedManager.scala:31-33,67-69 ReceiveTimeout
+    # = maxWaitingTimeBeforeStop): last epoch a feed's countdown made
+    # progress (items enqueued or processed). A robots denial records its
+    # ENQUEUE epoch (key[0]-1) so the engine's enqueue-time and this
+    # oracle's admission-time denial agree on the progress clock.
+    feed_last_progress: dict[str, int] = {}
+
+    def progress(fc: Optional[str], at: int) -> None:
+        if fc is not None:
+            feed_last_progress[fc] = max(feed_last_progress.get(fc, -1), at)
+
     last_access: dict[str, int] = {}
     epoch = 0
     while epoch < max_epochs:
+        # per-feed stall sweep (every feed_stall_epochs ticks, BEFORE the
+        # robots gate / admission — the engine runs the identical rule):
+        # a crawling feed whose countdown made no progress for >= N epochs
+        # dies; its pending tasks quarantine as 'stalled' while the rest
+        # of the crawl proceeds. N must be >= 2: a task's pending window
+        # before a robots denial is one tick, and N=1 would let the sweep
+        # race that denial.
+        if feed_stall_epochs > 0 and epoch > 0 and epoch % feed_stall_epochs == 0:
+            for fc in list(feed_pending):
+                if (
+                    res.feeds[fc]["state"] == "crawling"
+                    and feed_pending[fc]
+                    and feed_last_progress.get(fc, -1) <= epoch - feed_stall_epochs
+                ):
+                    for t in tasks:
+                        if t.state == "pending" and t.feed_canon == fc:
+                            t.state = "stalled"
+                    res.feeds[fc]["state"] = "dead"
+                    del feed_pending[fc]
         # starvation guard (mirror of operators.politeness.admit): rows
         # pending >= starvation_epochs ticks form an escalated class that
         # outranks every fresh row; FIFO within the class
@@ -162,6 +193,7 @@ def simulate(
             if _disallowed(corpus, t.host, t.url_canon):
                 t.state = "robots_denied"
                 if t.kind == "article":
+                    progress(t.feed_canon, t.key[0] - 1)
                     item_processed(t.feed_canon, (t.url_canon, t.key[2]))
                 else:
                     res.feeds[t.feed_canon]["state"] = "dead"
@@ -246,12 +278,14 @@ def simulate(
                 if pend:
                     feed_pending[fc] = pend
                     res.feeds[fc]["state"] = "crawling"
+                    progress(fc, epoch)
                 else:
                     # all items skipped -> complete now with watermark (A1 empties)
                     res.feeds[fc]["state"] = "done"
                     res.feeds[fc]["last_pub_ts"] = feed_watermark.get(fc)
             else:
                 ikey = (t.url_canon, t.key[2])
+                progress(t.feed_canon, epoch)
                 if body is None:                      # P3: null page -> skip item
                     t.state = "skipped"
                     item_processed(t.feed_canon, ikey)

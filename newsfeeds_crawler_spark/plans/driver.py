@@ -43,6 +43,8 @@ from newsfeeds_crawler_spark.operators.fetchparse import (
 from newsfeeds_crawler_spark.operators.multimodal import decode_images
 from newsfeeds_crawler_spark.operators.politeness import (
     admit,
+    admit_heads,
+    head_candidates,
     priority_score,
     robots_split,
 )
@@ -99,6 +101,21 @@ class CrawlConfig:
     # tasks leave HttpManager.taskList in place, HttpManager.scala:76-94 —
     # the list is never rebuilt.)
     frontier_buckets: int = 16
+    # incremental admission (requires frontier_buckets > 0): maintain a
+    # per-host head-candidate table (top-1 pending row per host under the
+    # static admission order) next to the bucketed frontier. Per tick the
+    # politeness gate then reads ∝ #hosts-with-pending-work (the heads
+    # table) and the maintenance job reads ∝ buckets touched by this
+    # tick's admissions/enqueues — NEVER the whole 10^10-row pending set.
+    # (Reference analog: HttpManager's skip-scan walks from the list HEAD
+    # and never re-sorts the list, HttpManager.scala:76-94.) Robots denial
+    # moves to enqueue time (a static per-row property — hosts' disallow
+    # rules never change mid-crawl), so the heads invariant holds: heads
+    # are always admissible-by-robots. Automatically falls back to
+    # full-frontier admission when starvation_epochs > 0 (the age-class
+    # flip makes the order key epoch-dependent, breaking the invariant)
+    # or when resuming a workdir that has no heads table.
+    frontier_heads: bool = True
     # > 0: keep the hosts dimension hash-bucketed on xxhash64(host) — the
     # per-epoch politeness update (last_access_epoch for ≤ workers hosts)
     # becomes a touched-bucket merge instead of an O(|hosts|) copy-on-write
@@ -115,6 +132,17 @@ class CrawlConfig:
     # with zero admissions, quarantine the stuck pending rows into
     # ``errors``, kill their feeds, and converge. 0 = disabled.
     stall_timeout_epochs: int = 60
+    # per-feed liveness guard (the bulk analog of the reference's per-actor
+    # ReceiveTimeout, FeedManager.scala:31-33,67-69 — ONE stuck feed dies
+    # after maxWaitingTimeBeforeStop while the rest of the crawl proceeds):
+    # every N ticks, quarantine feeds whose countdown clock
+    # (last_progress_epoch) stalled for >= N epochs — their pending rows
+    # move to errors (stage='feed_timeout') + the terminal log
+    # (state='stalled') and the feed dies, independent of global progress.
+    # The feeds scan is amortized by the sweep cadence. 0 = off; must be
+    # >= 2 (a task's pending window before a robots denial is one tick —
+    # N=1 would let the sweep race the denial, diverging from the oracle).
+    feed_stall_epochs: int = 0
     # compact the append-only tables (frontier_log/metrics/errors) every N
     # epochs: each epoch appends one directory, so an uncompacted 10^4-epoch
     # run reads 10^4 dirs per log scan; compaction rewrites the log as one
@@ -213,16 +241,40 @@ class CrawlEngine:
             "robots_disallow",
             F.lit(None).cast("int").alias("last_access_epoch"),
         )
-        feeds0 = f0.select(
+        # incremental-admission mode: robots denial is a STATIC per-row
+        # property (disallow rules never change mid-crawl), so it moves to
+        # enqueue time — seeds are gated here, items at their enqueue tick.
+        # Denied rows never enter the frontier (the heads invariant), they
+        # go straight to the terminal log; a denied FEED kills the feed
+        # (oracle/refsim.py:162-167 — same final states, denial just fires
+        # at enqueue instead of the row's first pending tick).
+        heads_mode = self._heads_mode()
+        if heads_mode:
+            a0, d0 = robots_split(f0, hosts0)
+            tagged0 = (
+                a0.withColumn("__gate", F.lit("a"))
+                .unionByName(d0.withColumn("__gate", F.lit("d")))
+                .localCheckpoint(eager=True)
+            )
+            allowed0 = tagged0.filter(F.col("__gate") == "a").drop("__gate")
+            denied0 = tagged0.filter(F.col("__gate") == "d").drop("__gate")
+            feeds_src = allowed0.withColumn(
+                "__fstate", F.lit("pending")
+            ).unionByName(denied0.withColumn("__fstate", F.lit("dead")))
+        else:
+            allowed0, denied0 = f0, None
+            feeds_src = f0.withColumn("__fstate", F.lit("pending"))
+        feeds0 = feeds_src.select(
             F.col("feed_canon"),
             "url",
             "host",
             F.col("e_rank").alias("seed_idx"),
-            F.lit("pending").alias("state"),
+            F.col("__fstate").alias("state"),
             F.lit(None).cast("timestamp").alias("parsed_pub_ts"),
             F.lit(None).cast("timestamp").alias("last_pub_ts"),
             F.lit(None).cast("int").alias("done_epoch"),
             F.lit(0).cast("int").alias("pending_items"),
+            F.lit(None).cast("int").alias("last_progress_epoch"),
         )
         arts0 = self._preseen_src.select(
             "url_canon",
@@ -247,6 +299,14 @@ class CrawlEngine:
         empty_metrics = self.spark.createDataFrame([], S.METRICS_SCHEMA)
         empty_errors = self.spark.createDataFrame([], S.ERRORS_SCHEMA)
         empty_frontier_log = self.spark.createDataFrame([], S.FRONTIER_SCHEMA)
+        base_cols = [f.name for f in S.FRONTIER_SCHEMA.fields]
+        log0 = empty_frontier_log
+        if heads_mode and denied0 is not None:
+            log0 = empty_frontier_log.unionByName(
+                denied0.withColumn("state", F.lit("robots_denied")).select(
+                    *base_cols
+                )
+            )
         seen0 = arts0.select("url_canon", "url_hash", "article_id", "pub_ts")
         if cfg.seen_buckets > 0:
             seen_v = self.cat.write_bucketed(
@@ -256,11 +316,19 @@ class CrawlEngine:
             seen_v = self.cat.write("seen_urls", seen0)
         if cfg.frontier_buckets > 0:
             f_v = self.cat.write_bucketed(
-                "frontier", f0, key="xxhash64(host)",
+                "frontier", allowed0, key="xxhash64(host)",
                 num_buckets=cfg.frontier_buckets,
             )
         else:
-            f_v = self.cat.write("frontier", f0)
+            f_v = self.cat.write("frontier", allowed0)
+        heads_v = None
+        if heads_mode:
+            heads_v = self.cat.write_bucketed(
+                "frontier_heads",
+                head_candidates(allowed0, cfg.salt_partitions),
+                key="xxhash64(host)",
+                num_buckets=cfg.frontier_buckets,
+            )
         if cfg.hosts_buckets > 0:
             hosts_v = self.cat.write_bucketed(
                 "hosts", hosts0, key="xxhash64(host)",
@@ -278,7 +346,7 @@ class CrawlEngine:
         versions = {
             "frontier": f_v,
             "frontier_log": self.cat.write(
-                "frontier_log", empty_frontier_log, mode="append"
+                "frontier_log", log0, mode="append"
             ),
             "seen_urls": seen_v,
             "hosts": hosts_v,
@@ -295,8 +363,22 @@ class CrawlEngine:
             "metrics": self.cat.write("metrics", empty_metrics, mode="append"),
             "errors": self.cat.write("errors", empty_errors, mode="append"),
         }
+        if heads_v is not None:
+            versions["frontier_heads"] = heads_v
         cat.commit_epoch(0, versions, meta={"event": "init"})
         return versions
+
+    def _heads_mode(self) -> bool:
+        """True when new runs should maintain the incremental per-host
+        head-candidate table. Requires the bucketed frontier; the
+        starvation guard's epoch-dependent order key breaks the heads
+        invariant, so it forces the full-frontier fallback."""
+        cfg = self.cfg
+        return (
+            cfg.frontier_heads
+            and cfg.frontier_buckets > 0
+            and cfg.starvation_epochs == 0
+        )
 
     # ---------------------------------------------------- seen prefilter
 
@@ -401,15 +483,27 @@ class CrawlEngine:
         frontier = cat.read("frontier", v["frontier"])
         pending = frontier.filter(F.col("state") == "pending")
         hosts = cat.read("hosts", v["hosts"])
+        # incremental admission: with a heads table committed, the
+        # politeness gate reads ONE row per host-with-pending-work instead
+        # of scanning the whole pending frontier; robots moved to enqueue
+        # time, so heads-mode ticks have no pending-side denials. A workdir
+        # initialized without the table (legacy layout, or starvation mode)
+        # falls back to the full-frontier scan.
+        heads_on = "frontier_heads" in v
 
         # ONE materialization job for the admission outcome (tag-union of
         # admitted ∪ denied) + ONE count job — the per-epoch fixed cost is
         # dominated by job count, not data volume, at small admitted sizes
-        allowed, denied0 = robots_split(pending, hosts)
-        adm0 = admit(
-            allowed, hosts, tick, cfg.workers, cfg.salt_partitions,
-            starvation_epochs=cfg.starvation_epochs,
-        )
+        if heads_on:
+            heads = cat.read("frontier_heads", v["frontier_heads"])
+            adm0 = admit_heads(heads, hosts, tick, cfg.workers)
+            denied0 = self.spark.createDataFrame([], S.FRONTIER_SCHEMA)
+        else:
+            allowed, denied0 = robots_split(pending, hosts)
+            adm0 = admit(
+                allowed, hosts, tick, cfg.workers, cfg.salt_partitions,
+                starvation_epochs=cfg.starvation_epochs,
+            )
         # non-eager checkpoint + count: the count IS the materializing
         # action, so admission costs ONE job launch instead of two
         gate = (
@@ -640,6 +734,17 @@ class CrawlEngine:
             )
         )
 
+        # heads mode: robots gate at ENQUEUE — denied items never enter the
+        # frontier (preserving the heads invariant); they terminal-log this
+        # tick and count as processed for their feed. Same final denied
+        # set, feed states, and stall totals as the oracle's
+        # admission-time gate — denial is a static per-row property.
+        if heads_on:
+            allowed_new, denied_new = robots_split(new_tasks, hosts)
+        else:
+            allowed_new = new_tasks
+            denied_new = self.spark.createDataFrame([], S.FRONTIER_SCHEMA)
+
         # ---- article branch: upsert rows (decode already materialized) ---
         # same no-store-shuffle shape as the probe: prune the store scan to
         # the decoded keys' buckets, inner-join it against the broadcast
@@ -730,6 +835,14 @@ class CrawlEngine:
                     F.lit(None),
                 )
             )
+            .unionByName(
+                terminal(
+                    denied_new,
+                    F.lit("robots_denied"),
+                    F.lit(None),
+                    F.lit(None),
+                )
+            )
         )
         # ``host`` rides along so the bucketed-frontier merge can compute
         # the deletes' touched buckets (bucket key = xxhash64(host))
@@ -742,7 +855,7 @@ class CrawlEngine:
         frontier_new = (
             frontier.join(processed.select(*key), on=key, how="left_anti")
             .select(*base)
-            .unionByName(new_tasks)
+            .unionByName(allowed_new)
         )
 
         # ---- hosts politeness state (A4) ---------------------------------
@@ -804,6 +917,7 @@ class CrawlEngine:
             "last_pub_ts",
             "done_epoch",
             "pending_items",
+            "last_progress_epoch",
         )
         # A1 countdown, incremental (parsedItemsMap.size analog): per-feed
         # pending count = prior count + enqueued − processed articles — only
@@ -817,8 +931,33 @@ class CrawlEngine:
             .unionByName(
                 denied.filter(F.col("kind") == "article").select("feed_canon")
             )
+            # enqueue-time denials (heads mode) process for their feed in
+            # the same tick they were counted as enqueued — net-zero on the
+            # countdown, same final states as the oracle's t+1 processing
+            .unionByName(denied_new.select("feed_canon"))
             .groupBy("feed_canon")
             .agg(F.count(F.lit(1)).alias("__done"))
+        )
+        # per-feed progress clock: enqueues and processed items tick the
+        # clock at ``tick``; robots denials tick it at their ENQUEUE epoch
+        # (e_epoch-1), which makes the legacy admission-time and the
+        # heads-mode enqueue-time denial paths agree with the oracle on
+        # one clock (oracle/refsim.py progress())
+        prog_cnt = (
+            new_tasks.select("feed_canon", F.lit(tick).alias("__pc"))
+            .unionByName(arts.select("feed_canon", F.lit(tick).alias("__pc")))
+            .unionByName(
+                denied.filter(F.col("kind") == "article").select(
+                    "feed_canon", (F.col("e_epoch") - 1).alias("__pc")
+                )
+            )
+            .unionByName(
+                denied_new.select(
+                    "feed_canon", (F.col("e_epoch") - 1).alias("__pc")
+                )
+            )
+            .groupBy("feed_canon")
+            .agg(F.max("__pc").alias("__prog"))
         )
         np_col = (
             F.coalesce(F.col("pending_items"), F.lit(0))
@@ -829,6 +968,7 @@ class CrawlEngine:
         feeds_new = (
             feeds_mid.join(F.broadcast(enq_cnt), "feed_canon", "left")
             .join(F.broadcast(done_cnt), "feed_canon", "left")
+            .join(F.broadcast(prog_cnt), "feed_canon", "left")
             .select(
                 "feed_canon",
                 "url",
@@ -845,6 +985,9 @@ class CrawlEngine:
                 .otherwise(F.col("done_epoch"))
                 .alias("done_epoch"),
                 np_col.cast("int").alias("pending_items"),
+                F.greatest(F.col("last_progress_epoch"), F.col("__prog"))
+                .cast("int")
+                .alias("last_progress_epoch"),
             )
         )
 
@@ -867,6 +1010,11 @@ class CrawlEngine:
             .unionByName(tag(probed.filter(F.col("__seen")), "d", col="item_host"))
             .unionByName(tag(new_tasks, "e"))
             .unionByName(tag(denied, "r"))
+            # "q" = enqueue-time robots denials (heads mode): counted as
+            # enqueued (oracle parity) but never pending — they cancel out
+            # of the pending-count recurrence and are reported in the
+            # robots_denied metric column alongside pending-side denials
+            .unionByName(tag(denied_new, "q"))
         )
 
         def m(t):
@@ -888,6 +1036,7 @@ class CrawlEngine:
                     m("d").alias("d"),
                     m("e").alias("e"),
                     m("r").alias("r"),
+                    m("q").alias("q"),
                 )
                 .collect()
             }
@@ -897,14 +1046,18 @@ class CrawlEngine:
                 set(act) | {b for b, n in pending_counts.items() if n > 0}
             ):
                 a = act.get(b)
-                f_, d_, e_, r_ = (
-                    (a["f"], a["d"], a["e"], a["r"])
+                f_, d_, e_, r_, q_ = (
+                    (a["f"], a["d"], a["e"], a["r"], a["q"])
                     if a is not None
-                    else (0, 0, 0, 0)
+                    else (0, 0, 0, 0, 0)
                 )
                 p = pending_counts.get(b, 0)
-                metric_rows.append((tick, b, f_, p - f_ - r_, d_, e_, r_))
-                nb = p - f_ - r_ + e_
+                # stalls = pending rows left waiting (enqueue denials were
+                # never pending, so q_ does not enter); robots_denied
+                # reports both denial paths; the pending recurrence nets
+                # out q_ from e_ (denied items were counted as enqueued)
+                metric_rows.append((tick, b, f_, p - f_ - r_, d_, e_, r_ + q_))
+                nb = p - f_ - r_ + e_ - q_
                 if nb:
                     new_counts[b] = nb
                 else:
@@ -918,12 +1071,45 @@ class CrawlEngine:
                 base_version=v["metrics"],
             )
 
-        # ---- decode-error quarantine (S8) ---------------------------------
-        errors_new = decoded.filter(F.col("decode_error").isNotNull()).select(
-            F.lit(tick).cast("int").alias("epoch"),
-            F.lit("decode").alias("stage"),
-            "url_canon",
-            F.col("decode_error").alias("error"),
+        # ---- error quarantine (S8) ----------------------------------------
+        # the reference dumps the offending payload to a numbered file on
+        # parse and extraction failures (util/ErrorDumping.scala:17-27 from
+        # ParsingManager.scala:40-45 / ExtractionManager.scala:37-42); here
+        # the payload rides in the errors table's payload column. Decode
+        # errors carry no text payload (the input is binary pixels).
+        err_cols = [f.name for f in S.ERRORS_SCHEMA.fields]
+        errors_new = (
+            decoded.filter(F.col("decode_error").isNotNull())
+            .select(
+                F.lit(tick).cast("int").alias("epoch"),
+                F.lit("decode").alias("stage"),
+                "url_canon",
+                F.col("decode_error").alias("error"),
+                F.lit(None).cast("string").alias("payload"),
+            )
+            .unionByName(
+                feeds_f.filter(
+                    F.col("body").isNotNull() & ~F.col("parsed.parse_ok")
+                ).select(
+                    F.lit(tick).cast("int").alias("epoch"),
+                    F.lit("parse").alias("stage"),
+                    "url_canon",
+                    F.lit("feed parse failure").alias("error"),
+                    F.col("body").alias("payload"),
+                )
+            )
+            .unionByName(
+                arts.filter(
+                    F.col("body").isNotNull() & F.col("caption_x").isNull()
+                ).select(
+                    F.lit(tick).cast("int").alias("epoch"),
+                    F.lit("extract").alias("stage"),
+                    "url_canon",
+                    F.lit("null caption extract").alias("error"),
+                    F.col("body").alias("payload"),
+                )
+            )
+            .select(*err_cols)
         )
 
         # ---- snapshot commits ---------------------------------------------
@@ -973,7 +1159,7 @@ class CrawlEngine:
                 # touched-bucket state transition: write ∝ active hosts
                 return cat.merge_bucketed(
                     "frontier",
-                    new_tasks,
+                    allowed_new,
                     on=key,
                     deletes=processed,
                     base_version=v["frontier"],
@@ -997,6 +1183,52 @@ class CrawlEngine:
                     base_version=v["feeds"], touched=tb_feeds,
                 )
             return cat.write("feeds", feeds_new.coalesce(small))
+
+        def w_heads():
+            # incremental head maintenance: only hosts whose pending set
+            # changed this tick (their head was admitted away, or new
+            # tasks arrived) can have a different head — recompute top-1
+            # for exactly those hosts from their bucket-pruned frontier
+            # rows and merge just their buckets. Read I/O ∝ touched
+            # buckets + this tick's frames, NEVER O(|pending|); every
+            # other host's head row carries over untouched.
+            th = (
+                admitted.select("host")
+                .unionByName(allowed_new.select("host"))
+                .distinct()
+                .select(
+                    "host",
+                    F.pmod(F.xxhash64("host"), F.lit(cfg.frontier_buckets))
+                    .cast("int")
+                    .alias("__b"),
+                )
+                .collect()
+            )
+            if not th:
+                return v["frontier_heads"]
+            touched_hb = {r["__b"] for r in th}
+            th_df = self.spark.createDataFrame(
+                [(r["host"],) for r in th], "host string"
+            )
+            live = (
+                cat.read("frontier", v["frontier"], buckets=touched_hb)
+                .filter(F.col("state") == "pending")
+                .join(F.broadcast(th_df), "host", "left_semi")
+                .join(
+                    F.broadcast(processed.select(*key)), on=key, how="left_anti"
+                )
+                .select(*base)
+                .unionByName(allowed_new.select(*base))
+            )
+            heads_new = head_candidates(live, cfg.salt_partitions)
+            return cat.merge_bucketed(
+                "frontier_heads",
+                heads_new,
+                on="host",
+                base_version=v["frontier_heads"],
+                deletes=th_df,
+                touched=touched_hb,
+            )
 
         P = self.spark.sparkContext.defaultParallelism
         small, big = min(8, P), P
@@ -1024,6 +1256,8 @@ class CrawlEngine:
             jobs["seen_filter"] = lambda: self._persist_filter(
                 which, bloom, seen_upserts
             )
+        if heads_on:
+            jobs["frontier_heads"] = w_heads
         nv = dict(v)
         with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
             futs = {name: pool.submit(fn) for name, fn in jobs.items()}
@@ -1064,6 +1298,7 @@ class CrawlEngine:
                 F.lit(self.cfg.stall_timeout_epochs).cast("string"),
                 F.lit(" epochs"),
             ).alias("error"),
+            F.lit(None).cast("string").alias("payload"),
         )
         stuck_feeds = stuck.select(
             F.coalesce("feed_canon", "url_canon").alias("fc")
@@ -1087,6 +1322,7 @@ class CrawlEngine:
             "last_pub_ts",
             "done_epoch",
             "pending_items",
+            "last_progress_epoch",
         )
         nv = dict(v)
         remaining = frontier.filter(F.col("state") != "pending")
@@ -1097,6 +1333,14 @@ class CrawlEngine:
             )
         else:
             nv["frontier"] = cat.write("frontier", remaining)
+        if "frontier_heads" in v:
+            # every pending row just left the frontier — no heads remain
+            nv["frontier_heads"] = cat.write_bucketed(
+                "frontier_heads",
+                self.spark.createDataFrame([], S.FRONTIER_SCHEMA),
+                key="xxhash64(host)",
+                num_buckets=self.cfg.frontier_buckets,
+            )
         nv["frontier_log"] = cat.write(
             "frontier_log", log_rows, mode="append",
             base_version=v["frontier_log"],
@@ -1113,6 +1357,161 @@ class CrawlEngine:
             nv["feeds"] = cat.write("feeds", feeds_new)
         return nv
 
+    def _sweep_stalled_feeds(
+        self, tick: int, v: dict[str, int], counts: dict[int, int]
+    ):
+        """Per-feed liveness guard (the bulk analog of the reference's
+        per-actor ReceiveTimeout, FeedManager.scala:31-33,67-69): at every
+        ``feed_stall_epochs``-th tick, quarantine feeds whose countdown
+        clock made no progress for >= that many epochs — their pending
+        rows move to ``errors`` (stage='feed_timeout') + the terminal log
+        (state='stalled') and the feed dies, while every other feed keeps
+        crawling. The oracle runs the identical deterministic rule
+        (oracle/refsim.py), so e2e equality holds through a quarantine.
+
+        Scale shape: the feeds scan is amortized by the sweep cadence and
+        the frontier filter is the rare remediation path; the bucketed
+        frontier/heads/feeds merges stay ∝ the stalled rows' buckets.
+        Returns (new_versions, new_counts), or None when nothing stalled.
+        """
+        cfg, cat = self.cfg, self.cat
+        N = cfg.feed_stall_epochs
+        B_feeds = max(cfg.feeds_buckets, 1)
+        stalled = (
+            cat.read("feeds", v["feeds"])
+            .filter(
+                (F.col("state") == "crawling")
+                & (F.col("pending_items") > 0)
+                & F.col("last_progress_epoch").isNotNull()
+                & (F.col("last_progress_epoch") <= F.lit(tick - N))
+            )
+            .select(
+                "feed_canon",
+                F.pmod(F.xxhash64("feed_canon"), F.lit(B_feeds))
+                .cast("int")
+                .alias("__fb"),
+            )
+            .collect()
+        )
+        if not stalled:
+            return None
+        fc_df = self.spark.createDataFrame(
+            [(r["feed_canon"],) for r in stalled], "feed_canon string"
+        )
+        tb_feeds = {r["__fb"] for r in stalled}
+        frontier = cat.read("frontier", v["frontier"])
+        stuck = (
+            frontier.filter(F.col("state") == "pending")
+            .join(F.broadcast(fc_df), "feed_canon", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        base = [f.name for f in S.FRONTIER_SCHEMA.fields]
+        key = ["url_canon", "e_epoch", "e_rank", "e_sub"]
+        log_rows = stuck.withColumn("state", F.lit("stalled")).select(*base)
+        errors_new = stuck.select(
+            F.lit(tick).cast("int").alias("epoch"),
+            F.lit("feed_timeout").alias("stage"),
+            "url_canon",
+            F.concat(
+                F.lit("feed made no progress for "),
+                F.lit(N).cast("string"),
+                F.lit(" epochs"),
+            ).alias("error"),
+            F.lit(None).cast("string").alias("payload"),
+        )
+        nv = dict(v)
+        if cfg.frontier_buckets > 0:
+            nv["frontier"] = cat.merge_bucketed(
+                "frontier", stuck.limit(0), on=key, deletes=stuck,
+                base_version=v["frontier"],
+            )
+        else:
+            nv["frontier"] = cat.write(
+                "frontier",
+                frontier.join(stuck.select(*key), on=key, how="left_anti"),
+            )
+        if "frontier_heads" in v:
+            # the stalled rows' hosts may have lost their head — recompute
+            # top-1 for exactly those hosts from the post-delete frontier
+            th = (
+                stuck.select("host")
+                .distinct()
+                .select(
+                    "host",
+                    F.pmod(F.xxhash64("host"), F.lit(cfg.frontier_buckets))
+                    .cast("int")
+                    .alias("__b"),
+                )
+                .collect()
+            )
+            touched_hb = {r["__b"] for r in th}
+            th_df = self.spark.createDataFrame(
+                [(r["host"],) for r in th], "host string"
+            )
+            live = (
+                cat.read("frontier", nv["frontier"], buckets=touched_hb)
+                .filter(F.col("state") == "pending")
+                .join(F.broadcast(th_df), "host", "left_semi")
+            )
+            nv["frontier_heads"] = cat.merge_bucketed(
+                "frontier_heads",
+                head_candidates(live, cfg.salt_partitions),
+                on="host",
+                base_version=v["frontier_heads"],
+                deletes=th_df,
+                touched=touched_hb,
+            )
+        nv["frontier_log"] = cat.write(
+            "frontier_log", log_rows, mode="append",
+            base_version=v["frontier_log"],
+        )
+        nv["errors"] = cat.write(
+            "errors", errors_new, mode="append", base_version=v["errors"]
+        )
+        feed_fields = [f.name for f in S.FEEDS_SCHEMA.fields]
+        if cfg.feeds_buckets > 0:
+            feeds_upd = (
+                cat.read("feeds", v["feeds"], buckets=tb_feeds)
+                .join(F.broadcast(fc_df), "feed_canon", "left_semi")
+                .withColumn("state", F.lit("dead"))
+                .select(*feed_fields)
+            )
+            nv["feeds"] = cat.merge_bucketed(
+                "feeds", feeds_upd, on="feed_canon",
+                base_version=v["feeds"], touched=tb_feeds,
+            )
+        else:
+            feeds_all = cat.read("feeds", v["feeds"])
+            feeds_upd = (
+                feeds_all.join(
+                    F.broadcast(fc_df.withColumn("__s", F.lit(1))),
+                    "feed_canon",
+                    "left",
+                )
+                .withColumn(
+                    "state",
+                    F.when(F.col("__s").isNotNull(), F.lit("dead")).otherwise(
+                        F.col("state")
+                    ),
+                )
+                .drop("__s")
+                .select(*feed_fields)
+            )
+            nv["feeds"] = cat.write(
+                "feeds", feeds_upd.localCheckpoint(eager=True)
+            )
+        removed = stuck.groupBy(
+            host_bucket(F.col("host"), cfg.num_host_buckets).alias("b")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+        new_counts = dict(counts)
+        for r in removed:
+            nb = new_counts.get(r["b"], 0) - r["n"]
+            if nb:
+                new_counts[r["b"]] = nb
+            else:
+                new_counts.pop(r["b"], None)
+        return nv, new_counts
+
     # -------------------------------------------------------------- run
 
     def run(self, resume: bool = True, progress: bool = False) -> dict:
@@ -1123,6 +1522,13 @@ class CrawlEngine:
             last = 0
         else:
             versions = cat.epoch_tables(last)
+            if "frontier_heads" in versions and not self._heads_mode():
+                # resumed under a config the heads invariant can't hold
+                # (starvation guard on, or heads disabled): drop the table
+                # from tracking so no tick ever reads a stale heads version
+                versions = {
+                    k: n for k, n in versions.items() if k != "frontier_heads"
+                }
         # per-bucket pending counts: resume from the epoch manifest meta;
         # a workdir from before the counts existed recomputes them ONCE
         emeta = cat.epoch_meta(last)
@@ -1139,11 +1545,43 @@ class CrawlEngine:
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
+        if cfg.feed_stall_epochs == 1:
+            raise ValueError(
+                "feed_stall_epochs must be 0 (off) or >= 2: a task's "
+                "pending window before a robots denial is one tick, and a "
+                "1-tick sweep would race the denial (diverging from the "
+                "oracle's admission-time gate)"
+            )
         tick = last
         stalled_for = 0
         while tick < cfg.max_epochs:
+            sweep_dirty = False
+            if (
+                cfg.feed_stall_epochs
+                and tick > 0
+                and tick % cfg.feed_stall_epochs == 0
+            ):
+                swept = self._sweep_stalled_feeds(tick, versions, counts)
+                if swept is not None:
+                    versions, counts = swept
+                    sweep_dirty = True
             result = self._run_tick(tick, versions, counts)
             if result is None:
+                if sweep_dirty:
+                    # the sweep drained the last pending rows — pin its
+                    # table versions in a final epoch manifest so the
+                    # quarantine is visible to committed readers
+                    cat.commit_epoch(
+                        tick + 1,
+                        versions,
+                        meta={
+                            "event": "feed_stall",
+                            "pending_counts": {
+                                str(b): n for b, n in counts.items()
+                            },
+                        },
+                    )
+                    tick += 1
                 break
             versions, meta, counts = result
             meta = dict(meta)

@@ -69,6 +69,12 @@ FEEDS_SCHEMA = StructType(
         # 153-162): maintained incrementally (+enqueued −processed per epoch)
         # so feed completion never scans the whole pending frontier
         StructField("pending_items", IntegerType(), True),
+        # per-feed liveness clock (ReceiveTimeout analog, FeedManager.scala:
+        # 31-33,67-69): last epoch this feed's countdown made progress
+        # (items enqueued or processed) — maintained in the same touched-
+        # bucket merge; the feed_stall_epochs sweep quarantines feeds whose
+        # clock stops while the rest of the crawl proceeds
+        StructField("last_progress_epoch", IntegerType(), True),
     ]
 )
 
@@ -112,9 +118,15 @@ METRICS_SCHEMA = StructType(
 ERRORS_SCHEMA = StructType(
     [
         StructField("epoch", IntegerType(), False),
-        StructField("stage", StringType(), False),
+        StructField("stage", StringType(), False),  # decode | parse | extract | stall_timeout
         StructField("url_canon", StringType(), True),
         StructField("error", StringType(), True),
+        # the offending payload, dumped for debugging — the reference
+        # writes it to a numbered file on parse and extraction failures
+        # (util/ErrorDumping.scala:17-27, used from ParsingManager.scala:
+        # 40-45 and ExtractionManager.scala:37-42); null for stages with
+        # no body to dump (decode works on binary pixels, stalls have none)
+        StructField("payload", StringType(), True),
     ]
 )
 
@@ -132,6 +144,7 @@ SEEN_URLS_SCHEMA = StructType(
 
 STATE_TABLES = [
     "frontier",      # pending tasks only — rewritten per epoch
+    "frontier_heads",  # top-1-per-host head candidates (incremental admission)
     "frontier_log",  # terminal transitions — append-only
     "seen_urls",     # probe store — one row per URL, incrementally merged
     "hosts",

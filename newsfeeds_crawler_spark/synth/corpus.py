@@ -70,6 +70,12 @@ class CorpusSpec:
     # chosen per-feed by a crc32 of the canonical URL so existing corpora
     # (atom_frac=0) are byte-identical
     atom_frac: float = 0.0
+    # fraction of feeds emitted as RSS 1.0 (RDF-rooted, items outside
+    # <channel>, W3CDTF <dc:date> timestamps — the legacy-news-site shape
+    # ROME also parses). Chosen by the same crc32 draw as atom_frac, on
+    # the band just above it, so existing corpora are byte-identical and
+    # atom+rdf fractions compose without collisions.
+    rdf_frac: float = 0.0
     # fraction of article pages whose image is a lightly perturbed copy of
     # the most recent image page — planted NEAR-DUPLICATE images for the
     # cross-feed image-dedup report. Gated by crc32 of the canonical URL
@@ -188,6 +194,34 @@ def make_atom(feed_pub_ts: Optional[datetime],
             entry += f"<published>{rfc3339(ts)}</published>"
         parts.append(entry + "</entry>")
     parts.append("</feed>")
+    return "".join(parts)
+
+
+def make_rdf(feed_pub_ts: Optional[datetime],
+             items: list[tuple[str, Optional[datetime]]]) -> str:
+    """RSS 1.0 document: RDF root, items OUTSIDE the channel, dc:date
+    (W3CDTF) timestamps — the structure functions/feedparse._parse_rdf
+    mirrors (and ROME parses, RomeFeedParser.scala:20-28)."""
+
+    def w3cdtf(ts: datetime) -> str:
+        return ts.isoformat() + "Z"
+
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns="http://purl.org/rss/1.0/"'
+        ' xmlns:dc="http://purl.org/dc/elements/1.1/">',
+        '<channel rdf:about="urn:synth"><title>synth feed</title>',
+    ]
+    if feed_pub_ts is not None:
+        parts.append(f"<dc:date>{w3cdtf(feed_pub_ts)}</dc:date>")
+    parts.append("</channel>")
+    for link, ts in items:
+        item = f'<item rdf:about="{link}"><link>{link}</link>'
+        if ts is not None:
+            item += f"<dc:date>{w3cdtf(ts)}</dc:date>"
+        parts.append(item + "</item>")
+    parts.append("</rdf:RDF>")
     return "".join(parts)
 
 
@@ -321,11 +355,15 @@ def synthesize(spec: CorpusSpec | None = None) -> SynthCorpus:
                 article_id += 1
 
         feed_pub = None if f % 4 == 3 else BASE_TS + timedelta(days=f, hours=6)
-        is_atom = (
-            spec.atom_frac > 0
-            and (zlib.crc32(feed_canon.encode()) % 1000) < spec.atom_frac * 1000
+        draw = zlib.crc32(feed_canon.encode()) % 1000
+        is_atom = spec.atom_frac > 0 and draw < spec.atom_frac * 1000
+        is_rdf = (
+            not is_atom
+            and spec.rdf_frac > 0
+            and draw < (spec.atom_frac + spec.rdf_frac) * 1000
         )
-        body = (make_atom if is_atom else make_rss)(feed_pub, items)
+        mk = make_atom if is_atom else (make_rdf if is_rdf else make_rss)
+        body = mk(feed_pub, items)
         pages[feed_canon] = Page(
             raw_feed_url, feed_canon, fhost, "feed", 200,
             body, feed_pub_ts=feed_pub, items=items,

@@ -555,18 +555,23 @@ def test_bucketed_hosts_feeds_same_semantics_and_touched_buckets(
 
 
 def test_mixed_rss_atom_corpus_exact(spark, tmp_path):
-    """Atom feeds flow through the same Arrow parse UDF, probe, and
-    watermark path — crawl order, seen set, and feed watermarks must be
-    exactly the oracle's on a corpus that mixes RSS and Atom."""
+    """Atom and RSS 1.0 (RDF) feeds flow through the same Arrow parse UDF,
+    probe, and watermark path — crawl order, seen set, and feed watermarks
+    must be exactly the oracle's on a corpus that mixes all three formats
+    ROME parses transparently (RomeFeedParser.scala:20-28)."""
     corpus = synthesize(
-        CorpusSpec(n_feeds=6, items_per_feed=6, n_hosts=5, atom_frac=0.5)
+        CorpusSpec(
+            n_feeds=9, items_per_feed=6, n_hosts=5,
+            atom_frac=0.34, rdf_frac=0.33,
+        )
     )
-    # the mix is genuinely mixed
+    # the mix is genuinely three-way
     feed_bodies = [
         p.body for p in corpus.pages.values() if p.kind == "feed" and p.body
     ]
     assert any("2005/Atom" in b for b in feed_bodies)
     assert any("<rss" in b for b in feed_bodies)
+    assert any("rdf-syntax-ns" in b for b in feed_bodies)
 
     oracle = simulate(corpus)
     eng = _mk_engine(spark, corpus, str(tmp_path / "atom"))
@@ -794,3 +799,174 @@ def test_starvation_guard_exact_vs_oracle(spark, tmp_path):
     assert got == oracle.crawl_order
     got_seen = {r["url_canon"]: r["pub_ts"] for r in eng.articles_final().collect()}
     assert got_seen == oracle.seen
+
+
+def test_parse_extract_error_payloads_quarantined(spark, tmp_path):
+    """S8 parity: the reference dumps the offending payload on parse and
+    extraction failures (util/ErrorDumping.scala:17-27 via
+    ParsingManager.scala:40-45 / ExtractionManager.scala:37-42) — the
+    engine must land a stage='parse' row with the feed body for the
+    unparseable feed, and a stage='extract' row with the page body for
+    every fetched article whose caption extraction yields null."""
+    corpus = synthesize(
+        CorpusSpec(n_feeds=6, items_per_feed=8, n_hosts=5, no_caption_frac=0.3)
+    )
+    oracle = simulate(corpus)
+    eng = _mk_engine(spark, corpus, str(tmp_path / "errs"))
+    eng.run()
+
+    errs = [
+        (r["stage"], r["url_canon"], r["payload"])
+        for r in eng.cat.read_committed("errors").collect()
+    ]
+    fetched = {u for u, _, _ in oracle.crawl_order}
+
+    from newsfeeds_crawler_spark.functions.feedparse import parse_feed_py
+
+    want_parse = {
+        u
+        for u, p in corpus.pages.items()
+        if p.kind == "feed" and p.status == 200 and p.body is not None
+        and parse_feed_py(p.body) is None and u in fetched
+    }
+    assert want_parse  # with_unparseable_feed plants one
+    got_parse = {u for s, u, _ in errs if s == "parse"}
+    assert got_parse == want_parse
+    for s, u, payload in errs:
+        if s == "parse":
+            assert payload == corpus.pages[u].body  # byte-exact dump
+
+    want_extract = {
+        t.url_canon
+        for t in oracle.tasks
+        if t.kind == "article" and t.state == "skipped"
+        and corpus.pages.get(t.url_canon) is not None
+        and corpus.pages[t.url_canon].status == 200
+        and corpus.pages[t.url_canon].body is not None
+    }
+    assert want_extract  # no_caption_frac=0.3 plants several
+    got_extract = {u for s, u, _ in errs if s == "extract"}
+    assert got_extract == want_extract
+    for s, u, payload in errs:
+        if s == "extract":
+            assert payload == corpus.pages[u].body
+
+
+def test_per_feed_stall_timeout_exact_vs_oracle(spark, tmp_path):
+    """Per-feed liveness guard (ref FeedManager.scala:31-33,67-69: ONE
+    stuck feed dies after maxWaitingTimeBeforeStop while the crawl
+    proceeds): with one host permanently blocked after its first access,
+    the feeds owning its pending items must die at the sweep while every
+    other feed completes — engine exactly equal to the oracle replay,
+    WITHOUT the global zero-admission guard."""
+    corpus = synthesize(CorpusSpec(n_feeds=5, items_per_feed=6, n_hosts=4))
+    blocked = sorted(corpus.hosts)[1]
+    corpus.hosts[blocked]["crawl_delay_ms"] = 10**9
+    N = 4
+    oracle = simulate(corpus, feed_stall_epochs=N)
+    want_stalled = {t.url_canon for t in oracle.tasks if t.state == "stalled"}
+    assert want_stalled  # the guard actually bites
+    assert any(f["state"] == "done" for f in oracle.feeds.values())
+    assert any(f["state"] == "dead" for f in oracle.feeds.values())
+
+    eng = _mk_engine(
+        spark, corpus, str(tmp_path / "fstall"),
+        feed_stall_epochs=N, stall_timeout_epochs=0, max_epochs=300,
+    )
+    res = eng.run()
+    assert res["epochs"] < 300  # the per-feed guard alone converged the run
+
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in eng.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order
+    got_seen = {r["url_canon"]: r["pub_ts"] for r in eng.articles_final().collect()}
+    assert got_seen == oracle.seen
+    got_feeds = {
+        r["feed_canon"]: (r["state"], r["last_pub_ts"])
+        for r in eng.feeds_final().collect()
+    }
+    want_feeds = {
+        fc: (f["state"], f["last_pub_ts"]) for fc, f in oracle.feeds.items()
+    }
+    assert got_feeds == want_feeds
+
+    got_stalled = {
+        r["url_canon"]
+        for r in eng.frontier_all().filter(F.col("state") == "stalled").collect()
+    }
+    assert got_stalled == want_stalled
+    errs = eng.cat.read_committed("errors").filter(
+        F.col("stage") == "feed_timeout"
+    )
+    assert {r["url_canon"] for r in errs.collect()} == want_stalled
+    # no pending work remains
+    assert eng.cat.read_committed("frontier").filter("state='pending'").count() == 0
+
+
+def test_frontier_heads_incremental_admission(spark, tmp_path):
+    """Incremental admission (the round-3 verdict's top scale item): the
+    heads table must hold EXACTLY the top-1 pending row per host under the
+    admission order (recompute check mid-run), its maintenance must be a
+    touched-bucket merge (snapshot dirs carry over), and a kill/resume run
+    must still be oracle-exact."""
+    import itertools
+    import json
+    import os
+
+    corpus = synthesize(CorpusSpec(n_feeds=6, items_per_feed=8, n_hosts=5))
+    oracle = simulate(corpus)
+    wd = str(tmp_path / "heads")
+    eng = _mk_engine(spark, corpus, wd, max_epochs=3)
+    eng.run()
+    assert eng.cat.exists("frontier_heads")
+
+    # heads invariant: top-1 per host of the pending frontier under the
+    # admission order (priority, FIFO key) — priority is constant 0 here
+    pend = [
+        (r["host"], r["priority"], r["e_epoch"], r["e_rank"], r["e_sub"],
+         r["url_canon"])
+        for r in eng.cat.read_committed("frontier")
+        .filter("state='pending'").collect()
+    ]
+    want_heads = {
+        host: min(g, key=lambda x: x[1:5])[5]
+        for host, g in itertools.groupby(
+            sorted(pend), key=lambda x: x[0]
+        )
+    }
+    got_heads = {
+        r["host"]: r["url_canon"]
+        for r in eng.cat.read_committed("frontier_heads").collect()
+    }
+    assert got_heads == want_heads and got_heads
+
+    resumed = _mk_engine(spark, corpus, wd)
+    resumed.run()
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in resumed.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order
+    got_seen = {
+        r["url_canon"]: r["pub_ts"] for r in resumed.articles_final().collect()
+    }
+    assert got_seen == oracle.seen
+
+    # maintenance I/O ∝ touched buckets: post-init heads snapshots carry
+    # over bucket dirs instead of rewriting every bucket
+    snapdir = os.path.join(wd, "frontier_heads", "_snapshots")
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(snapdir) if f.startswith("v")
+    )
+    assert len(versions) >= 3
+    carried_any = False
+    for v1, v2 in zip(versions, versions[1:]):
+        with open(os.path.join(snapdir, f"v{v1}.json")) as f:
+            d1 = set(json.load(f)["data_dirs"])
+        with open(os.path.join(snapdir, f"v{v2}.json")) as f:
+            d2 = set(json.load(f)["data_dirs"])
+        if d1 & d2:
+            carried_any = True
+    assert carried_any, "no heads snapshot carried over any bucket dir"

@@ -145,3 +145,35 @@ def test_mixed_rss_atom_corpus_has_both():
     ]
     assert any("http://www.w3.org/2005/Atom" in b for b in bodies)
     assert any("<rss" in b for b in bodies)
+
+
+def test_rdf_roundtrip_parse():
+    """RSS 1.0 (RDF) parse parity with ROME's transparent handling
+    (RomeFeedParser.scala:20-28): items OUTSIDE the channel, W3CDTF
+    dc:date timestamps, feed ts from the channel's dc:date."""
+    from datetime import datetime
+
+    from newsfeeds_crawler_spark.synth.corpus import make_rdf
+
+    items = [("http://h/a", datetime(2026, 2, 1, 10, 30, 5)), ("http://h/b", None)]
+    body = make_rdf(datetime(2026, 1, 15, 8, 0, 0), items)
+    feed_ts, parsed = parse_feed_py(body)
+    assert feed_ts == datetime(2026, 1, 15, 8, 0, 0)
+    assert parsed == items
+
+    # hand-written RDF: tz-offset dc:date normalized to UTC, item without
+    # a link dropped, channel without dc:date -> null feed ts
+    doc = (
+        '<?xml version="1.0"?>'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns="http://purl.org/rss/1.0/"'
+        ' xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        '<channel rdf:about="urn:x"><title>t</title></channel>'
+        '<item rdf:about="u1"><link>http://h/u1</link>'
+        "<dc:date>2026-03-02T00:00:00+02:00</dc:date></item>"
+        '<item rdf:about="u2"><title>no link</title></item>'
+        "</rdf:RDF>"
+    )
+    feed_ts, parsed = parse_feed_py(doc)
+    assert feed_ts is None
+    assert parsed == [("http://h/u1", datetime(2026, 3, 1, 22, 0, 0))]
