@@ -288,6 +288,33 @@ def q_frontier_fifo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frontier_heads_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental admission (W2+W3+W4 over a head-candidate table): top-1
+    row per host (the heads state the engine maintains incrementally),
+    then host admissibility (every 3rd host blocked), two-level top-k
+    (TakeOrderedAndProject — no full-table single-partition Window), and
+    the worker-cap rank. The full politeness gate reads one row per host,
+    never the 10^10-row pending set (plans/driver.py admit_heads path)."""
+    ev = _t(spark, sf_dir, "events")
+    hosted = ev.select(
+        "event_id",
+        "ts",
+        (F.col("user_id") % 50).cast("long").alias("hostn"),
+    )
+    w = Window.partitionBy("hostn").orderBy("ts", "event_id")
+    heads = (
+        hosted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    admissible = heads.filter(F.col("hostn") % 3 != 0)
+    topk = admissible.orderBy("ts", "event_id").limit(24)
+    w_glob = Window.orderBy("ts", "event_id")
+    return topk.withColumn(
+        "admit_rank", (F.row_number().over(w_glob) - 1).cast("int")
+    ).select("hostn", "event_id", "ts", "admit_rank")
+
+
 def q_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+A2/S7 — per-feed completion count + watermark aggregate."""
     li = _t(spark, sf_dir, "lineitem")
@@ -868,6 +895,43 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_caption_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption↔image consistency score (multimodal quality column): each
+    document gets a deterministic synthetic phash and a caption carrying
+    phash-band tag tokens — mislabeled rows (doc_id % 7 == 3) tag with a
+    shifted phash. operators/multimodal.caption_image_consistency scores
+    the agreement; DuckDB mirrors the same arithmetic exactly (the
+    synthetic phash is kept positive so ``//``-banding matches
+    ``shiftrightunsigned``). Pure Catalyst expressions end to end."""
+    from newsfeeds_crawler_spark.operators.multimodal import (
+        caption_image_consistency,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ph = (F.col("doc_id") * F.lit(2654435761) + F.lit(40503)).cast("long")
+    tag_ph = F.when(F.col("doc_id") % 7 == 3, ph + F.lit(1)).otherwise(ph)
+    tags = F.concat_ws(
+        " ",
+        *[
+            F.concat(
+                F.lit("img"),
+                F.shiftrightunsigned(tag_ph, 16 * k)
+                .bitwiseAND(F.lit(0xFFFF))
+                .cast("string"),
+            )
+            for k in range(4)
+        ],
+    )
+    tagged = d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" "), tags).alias("caption"),
+        ph.alias("phash"),
+    )
+    return caption_image_consistency(
+        tagged, caption_col="caption", phash_col="phash"
+    ).select(F.col("doc_id").cast("long"), "consistency")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_canonicalize": q_url_canonicalize,
@@ -877,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recency_predicate": q_recency_predicate,
         "politeness_admission": q_politeness_admission,
         "frontier_fifo_topk": q_frontier_fifo_topk,
+        "frontier_heads_admit": q_frontier_heads_admit,
         "watermark_agg": q_watermark_agg,
         "upsert_latest": q_upsert_latest,
         "host_last_access": q_host_last_access,
@@ -898,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "metrics_rollup": q_metrics_rollup,
         "dedup_rate_by_source": q_dedup_rate_by_source,
+        "caption_consistency": q_caption_consistency,
         "image_decode_roundtrip": q_image_decode_roundtrip,
         "robots_parse": q_robots_parse,
         "image_resize_roundtrip": q_image_resize_roundtrip,
@@ -1021,6 +1087,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM events)
             WHERE fifo_rank <= 96
         """,
+        "frontier_heads_admit": """
+            WITH heads AS (
+                SELECT hostn, event_id, ts FROM (
+                    SELECT (user_id % 50)::BIGINT AS hostn, event_id, ts,
+                           row_number() OVER (
+                               PARTITION BY user_id % 50
+                               ORDER BY ts, event_id) AS rn
+                    FROM events)
+                WHERE rn = 1),
+            adm AS (SELECT * FROM heads WHERE hostn % 3 <> 0)
+            SELECT hostn, event_id, ts,
+                   (row_number() OVER (ORDER BY ts, event_id) - 1)::INT
+                       AS admit_rank
+            FROM adm
+            ORDER BY ts, event_id LIMIT 24
+        """,
         "watermark_agg": """
             SELECT l_orderkey, count(*)::BIGINT AS n_items,
                    max(date_trunc('second', l_shipdate)) AS watermark
@@ -1100,6 +1182,32 @@ def oracle_sql() -> dict[str, str]:
                 WHERE a.id < b.id)
             SELECT id_a, id_b, bit_count(xor(s_a, s_b))::INT AS hamming
             FROM cand WHERE bit_count(xor(s_a, s_b)) <= 2
+        """,
+        "caption_consistency": """
+            WITH base AS (
+                SELECT doc_id,
+                       (doc_id * 2654435761 + 40503)::BIGINT AS ph
+                FROM documents),
+            t AS (
+                SELECT doc_id, ph,
+                       CASE WHEN doc_id % 7 = 3 THEN ph + 1 ELSE ph END AS tph
+                FROM base),
+            cap AS (
+                SELECT d.doc_id, t.ph,
+                       string_split(
+                           d.text || ' img' || (t.tph % 65536)::VARCHAR
+                           || ' img' || ((t.tph // 65536) % 65536)::VARCHAR
+                           || ' img' || ((t.tph // 4294967296) % 65536)::VARCHAR
+                           || ' img' || ((t.tph // 281474976710656) % 65536)::VARCHAR,
+                           ' ') AS toks
+                FROM documents d JOIN t USING (doc_id))
+            SELECT doc_id::BIGINT AS doc_id,
+                   (list_contains(toks, 'img' || (ph % 65536)::VARCHAR)::INT
+                  + list_contains(toks, 'img' || ((ph // 65536) % 65536)::VARCHAR)::INT
+                  + list_contains(toks, 'img' || ((ph // 4294967296) % 65536)::VARCHAR)::INT
+                  + list_contains(toks, 'img' || ((ph // 281474976710656) % 65536)::VARCHAR)::INT
+                   ) / 4.0 AS consistency
+            FROM cap
         """,
         "dedup_simhash": f"""
             WITH tok AS (

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "recency_predicate",
     "politeness_admission",
     "frontier_fifo_topk",
+    "frontier_heads_admit",
     "watermark_agg",
     "upsert_latest",
     "status_routing",
@@ -72,6 +73,7 @@ BENCH_QUERIES = [
     "metrics_rollup",
     "dedup_rate_by_source",
     "robots_parse",
+    "caption_consistency",
     "image_decode_roundtrip",
     "image_resize_roundtrip",
     "image_phash_neardup",

@@ -190,3 +190,41 @@ def sample_frames(df: DataFrame, every_n: int, frame_bytes: int,
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.mapInPandas(run, schema)
+
+
+def caption_image_consistency(
+    df: DataFrame,
+    caption_col: str = "caption",
+    phash_col: str = "dec_phash",
+    bands: int = 4,
+    tag_prefix: str = "img",
+    out_col: str = "consistency",
+) -> DataFrame:
+    """Caption ↔ image agreement score in [0, 1]: the fraction of the
+    image's 16-bit phash bands whose tag token (``img<band-value>``)
+    appears among the caption's whitespace tokens.
+
+    A training-data pipeline gates (image, caption) pairs on a learned
+    agreement model (CLIP-style); no vision model exists in this sandbox,
+    so the score is the deterministic stand-in — upstream taggers stamp
+    band tokens into the caption, and mislabeled captions (tags from a
+    different image) score < 1. The Spark shape is the real one: pure
+    Catalyst expressions (split + array_contains + band extraction via
+    ``shiftrightunsigned`` — signed-int64-correct, same banding as
+    :func:`phash_hamming_pairs`), no Python in the hot path, so the score
+    column costs one map-only projection at any corpus size.
+    """
+    assert 2 <= bands <= 4  # 16-bit bands of a 64-bit hash
+    toks = F.split(F.col(caption_col), " ")
+    hits = None
+    for k in range(bands):
+        band = (
+            F.shiftrightunsigned(F.col(phash_col), 16 * k)
+            .bitwiseAND(F.lit(0xFFFF))
+            .cast("string")
+        )
+        hit = F.array_contains(toks, F.concat(F.lit(tag_prefix), band)).cast(
+            "int"
+        )
+        hits = hit if hits is None else hits + hit
+    return df.withColumn(out_col, hits / F.lit(float(bands)))

@@ -1696,6 +1696,26 @@ class CrawlEngine:
 
         return neardup_components(self.image_neardup_pairs(max_dist, bands))
 
+    def caption_consistency_report(self, bands: int = 4) -> DataFrame:
+        """Caption↔image agreement over the crawled output: for every
+        stored (image, caption) row, the fraction of the DECODED image's
+        phash bands whose tag token appears in the caption
+        (operators/multimodal.caption_image_consistency — a map-only
+        projection at any scale). A training pipeline drops or reviews
+        rows scoring < 1.0: mislabeled captions that URL-level dedup and
+        pixel-level near-dup both miss. Output: (url_canon, caption,
+        dec_phash, consistency)."""
+        from newsfeeds_crawler_spark.operators.multimodal import (
+            caption_image_consistency,
+        )
+
+        arts = self.articles_final().filter(
+            F.col("caption").isNotNull() & F.col("dec_phash").isNotNull()
+        )
+        return caption_image_consistency(arts, bands=bands).select(
+            "url_canon", "caption", "dec_phash", "consistency"
+        )
+
     def feeds_final(self) -> DataFrame:
         return self.cat.read_committed("feeds")
 

@@ -81,6 +81,15 @@ class CorpusSpec:
     # cross-feed image-dedup report. Gated by crc32 of the canonical URL
     # (not the shared rng) so existing corpora (frac=0) are byte-identical.
     image_neardup_frac: float = 0.0
+    # caption↔image consistency watermark: when True, every caption gains
+    # 4 trailing tag tokens ("img<band>") carrying the page image's 16-bit
+    # phash bands — the deterministic stand-in for an upstream tagger a
+    # consistency model would agree with. caption_mismatch_frac of tagged
+    # pages (crc32-gated, byte-identical corpora at 0) get tags from the
+    # COMPLEMENT phash instead — planted mislabeled captions the
+    # consistency score must flag. Default off: existing corpora unchanged.
+    caption_tags: bool = False
+    caption_mismatch_frac: float = 0.0
 
 
 @dataclass
@@ -112,6 +121,9 @@ class SynthCorpus:
     # planted near-dup image pairs (src_canon, dup_canon); empty unless
     # spec.image_neardup_frac > 0
     neardup_pairs: list = field(default_factory=list)
+    # pages whose caption tags were planted from the WRONG image (empty
+    # unless spec.caption_tags and caption_mismatch_frac > 0)
+    caption_mismatches: list = field(default_factory=list)
 
     def page(self, url_canon: str) -> Optional[Page]:
         return self.pages.get(url_canon)
@@ -249,6 +261,7 @@ def synthesize(spec: CorpusSpec | None = None) -> SynthCorpus:
     seeds: list[str] = []
     all_article_urls: list[str] = []
     neardup_pairs: list[tuple[str, str]] = []
+    caption_mismatches: list[str] = []
     last_img: tuple[str, np.ndarray] | None = None  # (url_canon, source img)
 
     article_id = 500  # reference BootstrapTest starts its id counter at 500
@@ -328,12 +341,27 @@ def synthesize(spec: CorpusSpec | None = None) -> SynthCorpus:
                     # a lossy fmt it is computed post-roundtrip — identical to
                     # what any consumer of `image` can recompute
                     ph_src = codecs.decode_image(enc, fmt) if fmt in codecs.LOSSY else img
+                    ph_val = codecs.phash64(ph_src)
+                    if spec.caption_tags and caption is not None:
+                        tag_ph = ph_val & 0xFFFFFFFFFFFFFFFF
+                        if (
+                            zlib.crc32(b"capmismatch:" + item_canon.encode())
+                            % 1000
+                        ) < spec.caption_mismatch_frac * 1000:
+                            # mislabeled caption: tags from the complement
+                            # phash — every band disagrees (score 0.0)
+                            tag_ph = ~ph_val & 0xFFFFFFFFFFFFFFFF
+                            caption_mismatches.append(item_canon)
+                        caption += " " + " ".join(
+                            f"img{(tag_ph >> (16 * k)) & 0xFFFF}"
+                            for k in range(4)
+                        )
                     pages[item_canon] = Page(
                         raw_item, item_canon, ahost2, "article", 200,
                         make_article_body(item_canon, caption),
                         pub_ts=pub, caption=caption,
                         image=enc,
-                        w=w, h=h, fmt=fmt, phash=codecs.phash64(ph_src),
+                        w=w, h=h, fmt=fmt, phash=ph_val,
                     )
                 all_article_urls.append(raw_item)
 
@@ -372,4 +400,5 @@ def synthesize(spec: CorpusSpec | None = None) -> SynthCorpus:
     return SynthCorpus(
         spec=spec, pages=pages, seeds=seeds, hosts=hosts, preseen=preseen,
         neardup_pairs=neardup_pairs,
+        caption_mismatches=caption_mismatches,
     )

@@ -970,3 +970,39 @@ def test_frontier_heads_incremental_admission(spark, tmp_path):
         if d1 & d2:
             carried_any = True
     assert carried_any, "no heads snapshot carried over any bucket dir"
+
+
+def test_caption_consistency_report_flags_planted_mismatches(spark, tmp_path):
+    """Caption↔image consistency over crawl output: pages whose caption
+    tags were planted from the WRONG image must score < 1.0 (complement
+    phash ⇒ exactly 0.0); every other tagged page scores exactly 1.0 —
+    and the tagged corpus still crawls oracle-exact (tags ride inside the
+    caption through the byte-exact extract path)."""
+    corpus = synthesize(
+        CorpusSpec(
+            n_feeds=6, items_per_feed=8, n_hosts=5,
+            caption_tags=True, caption_mismatch_frac=0.3,
+        )
+    )
+    assert corpus.caption_mismatches
+    oracle = simulate(corpus)
+    eng = _mk_engine(spark, corpus, str(tmp_path / "capcons"))
+    eng.run()
+
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in eng.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order
+    rows = {
+        r["url_canon"]: r["consistency"]
+        for r in eng.caption_consistency_report().collect()
+    }
+    assert rows
+    crawled_mismatch = set(corpus.caption_mismatches) & set(rows)
+    assert crawled_mismatch  # some planted mislabels were actually crawled
+    for u, score in rows.items():
+        if u in crawled_mismatch:
+            assert score == 0.0, u      # complement phash: every band wrong
+        elif corpus.pages[u].caption and " img" in corpus.pages[u].caption:
+            assert score == 1.0, u      # consistent tags: every band right
