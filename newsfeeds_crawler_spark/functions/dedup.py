@@ -43,18 +43,73 @@ def minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return out
 
 
+def _minhash_fold(grams: Column, num_hashes: int, seed: int, finish) -> Column:
+    """One-pass MinHash fold: hash each shingle ONCE (transform), then fold
+    the ``num_hashes`` permuted minima in a single ``aggregate`` whose merge
+    is a zip_with(least). Entirely map-side — no explode, no shuffle — and
+    the shingle hash is computed exactly once per gram (the per-permutation
+    array_min form re-inlines the hash ``num_hashes`` times after projection
+    collapse; the exploded groupBy-min form shuffles |docs|·|grams| rows).
+    ``finish`` maps the final signature array (bound ONCE as the aggregate's
+    finish-lambda variable, so consumers can derive several values from it
+    without re-evaluating the fold)."""
+    coeffs = minhash_coeffs(num_hashes, seed)
+    ab = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in coeffs]
+    )
+    init = F.array_repeat(F.lit(MERSENNE31).cast("bigint"), num_hashes)
+    hs = F.transform(grams, lambda g: fingerprint64(g))
+    return F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(ab, lambda c: (c["a"] * h + c["b"]) % F.lit(MERSENNE31)),
+            lambda x, y: F.least(x, y),
+        ),
+        finish,
+    )
+
+
 def minhash_signature(grams: Column, num_hashes: int = 16, seed: int = 42) -> Column:
     """array<bigint> MinHash signature over an array<string> of shingles.
 
     sig[i] = min over shingles s of (a_i * H(s) + b_i) mod (2^31-1),
-    H = fingerprint64 poly hash. Empty gram arrays hash to the max value.
+    H = fingerprint64 poly hash. Empty gram arrays hash to the max value
+    (the fold's init), identical to the min-over-exploded-rows form.
     """
-    hs = F.transform(grams, lambda g: fingerprint64(g))
-    sig = []
-    for a, b in minhash_coeffs(num_hashes, seed):
-        perm = F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE31))
-        sig.append(F.coalesce(F.array_min(perm), F.lit(MERSENNE31)).cast("bigint"))
-    return F.array(*sig)
+    return _minhash_fold(grams, num_hashes, seed, lambda acc: acc)
+
+
+def minhash_band_keys(
+    grams: Column,
+    num_hashes: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+) -> Column:
+    """array<string> of LSH band keys 'b_h1_h2_..' straight from the fold.
+
+    The band keys are built inside the aggregate's finish lambda, where the
+    signature array is a bound variable — evaluated once — rather than a
+    sub-expression that projection collapse would re-inline per band."""
+    rows_per_band = num_hashes // bands
+
+    def finish(acc: Column) -> Column:
+        return F.array(
+            *[
+                F.concat_ws(
+                    "_",
+                    F.lit(str(b)),
+                    *[
+                        F.element_at(acc, b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+                for b in range(bands)
+            ]
+        )
+
+    return _minhash_fold(grams, num_hashes, seed, finish)
 
 
 def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:

@@ -147,6 +147,30 @@ class PartitionedBloom:
         m, k = _params(expected_per_bucket, fpp)
         return PartitionedBloom(num_buckets, m, k, {})
 
+    def add_keys(self, keys: np.ndarray) -> "PartitionedBloom":
+        """Driver-side fold of a SMALL key batch into a new filter.
+
+        Calls the same ``_set_bits`` as the distributed build, so the
+        result is bit-identical to ``build(delta) + merge`` — without the
+        delta's shuffle. Meant for per-epoch maintenance where the batch
+        is bounded by the worker cap (≤ thousands of keys); use
+        :meth:`build` for bulk key sets."""
+        if keys.size == 0:
+            return self
+        filters = dict(self.filters)
+        # same nonnegative residue as the build side's F.pmod(key, B)
+        buckets = keys.astype(np.int64) % np.int64(self.num_buckets)
+        for b in np.unique(buckets):
+            blob = filters.get(int(b))
+            bits = (
+                np.frombuffer(blob, dtype=np.uint8).copy()
+                if blob is not None
+                else np.zeros(self.m // 8, dtype=np.uint8)
+            )
+            _set_bits(bits, keys[buckets == b], self.k, self.m)
+            filters[int(b)] = bits.tobytes()
+        return PartitionedBloom(self.num_buckets, self.m, self.k, filters)
+
     def merge(self, other: "PartitionedBloom") -> "PartitionedBloom":
         """Bitwise OR — incremental maintenance (epoch deltas fold in)."""
         if (self.m, self.k, self.num_buckets) != (other.m, other.k, other.num_buckets):

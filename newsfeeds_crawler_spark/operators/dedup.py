@@ -122,45 +122,28 @@ def minhash_lsh_pairs(
     Candidates never leave the band buckets, so the pair space is
     |Σ bucket²| not |docs|² — the property that makes this the 100 TB path.
     """
-    rows_per_band = num_hashes // bands
     docs = df.select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), k_shingle).alias("grams"),
     )
-    # Explode + aggregate shape: each shingle is hashed ONCE (not once per
-    # permutation — Catalyst would inline a shared signature expression into
-    # every min and band key otherwise), then the 16 permuted mins are plain
-    # aggregates with map-side partial aggregation. grams is never empty
-    # (functions.text.shingles falls back to the whole-token join), so no
-    # doc drops out of the explode.
-    from newsfeeds_crawler_spark.functions.dedup import MERSENNE31, minhash_coeffs
-    from newsfeeds_crawler_spark.functions.text import fingerprint64
+    # MAP-ONLY signatures: each doc's band keys come from ONE aggregate
+    # fold over its shingle array — every shingle hashed once (transform),
+    # the 16 permuted mins folded via zip_with(least), the band keys built
+    # in the finish lambda where the signature is a bound variable (so
+    # projection collapse cannot re-inline the fold per band). Values are
+    # bit-identical to the previous explode + groupBy-min shape, but the
+    # |docs|·|grams| hash-row shuffle is GONE — at 100 TB the band
+    # self-join below is the pipeline's only shuffle over document data.
+    # grams is never empty (functions.text.shingles falls back to the
+    # whole-token join), so no doc drops out.
+    from newsfeeds_crawler_spark.functions.dedup import minhash_band_keys
 
-    gram_rows = docs.select(
-        "id", F.explode("grams").alias("gram")
-    ).withColumn("h", fingerprint64(F.col("gram")))
-    sig = gram_rows.groupBy("id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE31)).alias(
-                f"mh{i}"
-            )
-            for i, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
-        ]
+    banded = docs.select(
+        "id",
+        F.explode(
+            minhash_band_keys(F.col("grams"), num_hashes, bands, seed)
+        ).alias("band_key"),
     )
-    band_key_arr = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                F.lit(str(b)),
-                *[
-                    F.col(f"mh{b * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ],
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("id", F.explode(band_key_arr).alias("band_key"))
     a = banded.select("band_key", F.col("id").alias("id_a"))
     b = banded.select("band_key", F.col("id").alias("id_b"))
     cand_ids = (
@@ -198,32 +181,61 @@ def minhash_lsh_pairs(
 def simhash_docs(
     df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
 ) -> DataFrame:
-    """(id, simhash) per document — explode + aggregate shape.
+    """(id, simhash) per document — ONE map-only aggregate fold per doc.
 
-    Each distinct token is hashed once (explode → one row per token), then
-    the per-bit vote sums are ``bits`` ordinary aggregates of one groupBy —
-    map-side partial aggregation applies, and no per-row expression ever
-    recomputes the token hashes. That is the 100 TB shape; the column-
-    expression form (functions.dedup.simhash) exists for small arrays only.
+    Each distinct token is hashed once (the fold iterates the transformed
+    hash array, binding the hash value per element), the ``bits`` vote
+    counters ride in a single array accumulator merged by zip_with(+),
+    and the simhash assembles in the finish lambda where the final vote
+    array is a bound variable. Zero shuffle: the previous explode +
+    groupBy shape exchanged |docs|·bits partial-aggregate rows (and
+    materialized |docs|·|tokens| exploded rows first); at 100 TB the
+    signature stage now ships nothing. Vote sums are commutative integer
+    adds, so values are bit-identical to the exploded form — including
+    the drop of docs whose token array is null (matching explode).
+
+    The column-expression form (functions.dedup.simhash) keeps one fold
+    per bit so its oracle SQL stays a literal mirror; this operator is
+    the engine path.
     """
     from newsfeeds_crawler_spark.functions.text import fingerprint64
 
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    tok_rows = df.select(
-        F.col(id_col).alias("id"), F.explode(toks).alias("tok")
-    ).withColumn("h", fingerprint64(F.col("tok")))
-    votes = tok_rows.groupBy("id").agg(
-        *[
-            F.sum((F.floor(F.col("h") / F.lit(2**b)).cast("bigint") % 2) * 2 - 1)
-            .alias(f"v{b}")
-            for b in range(bits)
-        ]
+
+    def finish(acc: Column) -> Column:
+        sim = F.lit(0).cast("bigint")
+        for b in range(bits):
+            sim = sim + (
+                F.when(F.element_at(acc, b + 1) > 0, F.lit(2**b))
+                .otherwise(F.lit(0))
+                .cast("bigint")
+            )
+        return sim
+
+    votes = F.aggregate(
+        F.transform(toks, lambda t: fingerprint64(t)),
+        F.array_repeat(F.lit(0).cast("bigint"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (
+                        (F.floor(h / F.lit(2**b)).cast("bigint") % 2) * 2 - 1
+                    ).cast("bigint")
+                    for b in range(bits)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+        finish,
     )
-    sim = None
-    for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)).cast("bigint")
-        sim = term if sim is None else sim + term
-    return votes.select(F.col("id").cast("bigint"), sim.alias("simhash"))
+    return (
+        # explode dropped null-text docs (NULL token array → no rows);
+        # filtering the raw column keeps parity without re-inlining the
+        # fold into a Filter over the computed value
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).cast("bigint").alias("id"), votes.alias("simhash"))
+    )
 
 
 def simhash_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -171,7 +171,23 @@ class CrawlEngine:
     ):
         self.spark = spark
         self.cfg = config or CrawlConfig()
-        self.cat = Catalog(spark, workdir)
+        # Tick-plan session: same SparkContext/executors, AQE disabled.
+        # Every per-tick state plan is already hand-shaped — explicit
+        # repartition to the bucket count, explicit broadcast hints,
+        # bucket-dir pruning — so AQE's runtime re-planning cannot improve
+        # them; it only materializes every shuffle stage as its own job
+        # (measured: ~25 of a 75-job steady tick were AQE stage jobs).
+        # Analytics queries keep the caller's session (AQE + skew-join on);
+        # state tables and tick frames root here.
+        tick = spark.newSession()
+        tick.conf.set("spark.sql.adaptive.enabled", "false")
+        for k in ("spark.sql.shuffle.partitions", "spark.sql.session.timeZone"):
+            try:
+                tick.conf.set(k, spark.conf.get(k))
+            except Exception:
+                pass
+        self.tick_spark = tick
+        self.cat = Catalog(tick, workdir)
         self.corpus = corpus
         self._hosts_src = hosts
         self._seeds_src = seeds
@@ -198,7 +214,7 @@ class CrawlEngine:
                 num_buckets=B,
             )
             open(marker, "w").close()
-        return self.spark.read.parquet(path).drop("__h")
+        return self.tick_spark.read.parquet(path).drop("__h")
 
     # ------------------------------------------------------------- init
 
@@ -389,6 +405,19 @@ class CrawlEngine:
         back to one build from the store."""
         if which not in ("bloom", "cuckoo"):
             return None
+        # steady-tick cache: the filter persisted at the END of tick t IS
+        # the filter tick t+1 loads (same version chain), so the in-memory
+        # object from _persist_filter answers the next load with zero jobs.
+        # Keyed on (kind, version): a resume from a different version, a
+        # fresh engine, or a kind switch all miss and fall through to the
+        # table read.
+        cached = getattr(self, "_filter_cache", None)
+        if (
+            cached is not None
+            and "seen_filter" in v
+            and cached[0] == (which, v["seen_filter"])
+        ):
+            return cached[1]
         if "seen_filter" in v and self.cat.exists("seen_filter"):
             blobs = self.cat.read("seen_filter", v["seen_filter"])
             meta = self.cat.meta("seen_filter", v["seen_filter"])
@@ -430,16 +459,19 @@ class CrawlEngine:
         Bloom: distributed delta build over |upserts| keys + bitwise-OR
         merge. Cuckoo: add_keys of the collected upsert hashes (≤ workers
         rows/epoch; deletable on recrawl expiry via delete_keys)."""
-        if which == "bloom":
-            from newsfeeds_crawler_spark.operators.bloom import PartitionedBloom
+        import numpy as np
 
-            delta = PartitionedBloom.build(
-                seen_upserts.select("url_hash"),
-                num_buckets=bloom.num_buckets,
-                m=bloom.m,
-                k=bloom.k,
-            )
-            bloom = bloom.merge(delta)
+        # one narrow collect: the epoch's upserts are bounded by the worker
+        # cap (≤ thousands of keys even on a 1000-executor crawl), so the
+        # driver-side fold replaces the delta build's shuffle + pandas UDF.
+        # bloom.add_keys calls the same _set_bits as the distributed build
+        # — bit-identical to build(delta)+merge.
+        keys = np.array(
+            [r["url_hash"] for r in seen_upserts.select("url_hash").collect()],
+            dtype=np.int64,
+        )
+        if which == "bloom":
+            bloom = bloom.add_keys(keys)
             meta = {
                 "kind": "bloom",
                 "m": bloom.m,
@@ -447,18 +479,14 @@ class CrawlEngine:
                 "num_buckets": bloom.num_buckets,
             }
         else:
-            import numpy as np
-
-            keys = np.array(
-                [r["url_hash"] for r in seen_upserts.select("url_hash").collect()],
-                dtype=np.int64,
-            )
             if keys.size:
                 bloom.add_keys(keys)
             meta = {"kind": "cuckoo", "num_buckets": bloom.num_partitions}
-        return self.cat.write(
-            "seen_filter", bloom.to_df(self.spark), meta=meta
+        ver = self.cat.write(
+            "seen_filter", bloom.to_df(self.tick_spark), meta=meta
         )
+        self._filter_cache = ((which, ver), bloom)
+        return ver
 
     # ------------------------------------------------------------- tick
 
@@ -497,7 +525,7 @@ class CrawlEngine:
         if heads_on:
             heads = cat.read("frontier_heads", v["frontier_heads"])
             adm0 = admit_heads(heads, hosts, tick, cfg.workers)
-            denied0 = self.spark.createDataFrame([], S.FRONTIER_SCHEMA)
+            denied0 = self.tick_spark.createDataFrame([], S.FRONTIER_SCHEMA)
         else:
             allowed, denied0 = robots_split(pending, hosts)
             adm0 = admit(
@@ -570,7 +598,7 @@ class CrawlEngine:
             n_stall = sum(pending_counts.values())
             if n_stall == 0:
                 return None
-            mrow = self.spark.createDataFrame(
+            mrow = self.tick_spark.createDataFrame(
                 [(tick, -1, 0, n_stall, 0, 0, 0)], S.METRICS_SCHEMA
             )
             v = dict(v)
@@ -740,10 +768,23 @@ class CrawlEngine:
         # set, feed states, and stall totals as the oracle's
         # admission-time gate — denial is a static per-row property.
         if heads_on:
-            allowed_new, denied_new = robots_split(new_tasks, hosts)
+            an0, dn0 = robots_split(new_tasks, hosts)
         else:
-            allowed_new = new_tasks
-            denied_new = self.spark.createDataFrame([], S.FRONTIER_SCHEMA)
+            an0 = new_tasks
+            dn0 = self.tick_spark.createDataFrame([], S.FRONTIER_SCHEMA)
+        # checkpoint the split ONCE (tag-union, same shape as the gate):
+        # allowed_new/denied_new feed ~8 downstream plans (frontier merge,
+        # heads maintenance, log rows, feed-count deltas, metrics tags) and
+        # each un-checkpointed evaluation would re-run the robots broadcast
+        # join + the e_sub window — one materialization job replaces them
+        rsplit = (
+            an0.withColumn("__g", F.lit("a"))
+            .unionByName(dn0.withColumn("__g", F.lit("d")))
+            .localCheckpoint(eager=False)
+        )
+        allowed_new = rsplit.filter(F.col("__g") == "a").drop("__g")
+        denied_new = rsplit.filter(F.col("__g") == "d").drop("__g")
+        new_tasks = rsplit.drop("__g")  # allowed ∪ denied == the full set
 
         # ---- article branch: upsert rows (decode already materialized) ---
         # same no-store-shuffle shape as the probe: prune the store scan to
@@ -792,6 +833,12 @@ class CrawlEngine:
                     "host_bucket"
                 ),
             )
+            # eager: four concurrent writers consume this frame (seen merge
+            # source + its broadcast keys, articles append, filter delta) —
+            # one serial materialization replaces their repeated broadcast
+            # (prior ⋈ decoded) rebuilds and keeps the pool's job count
+            # deterministic (a lazy first-touch race could double-compute)
+            .localCheckpoint(eager=True)
         )
 
         # ---- frontier state transitions ----------------------------------
@@ -858,6 +905,31 @@ class CrawlEngine:
             .unionByName(allowed_new)
         )
 
+        # ONE collect shared by the frontier merge and the heads
+        # maintenance below: the hosts whose frontier rows change this tick
+        # (admitted-away ∪ newly enqueued ∪ denied-away) with their bucket
+        # ids. The frontier merge's touched set and the heads recompute set
+        # both derive from it, so neither write re-collects. It also
+        # materializes the rsplit checkpoint serially (deterministic job
+        # count in the concurrent write pool).
+        th: list = []
+        touched_fr: set[int] | None = None
+        if cfg.frontier_buckets > 0:
+            th = (
+                admitted.select("host")
+                .unionByName(allowed_new.select("host"))
+                .unionByName(denied.select("host"))
+                .distinct()
+                .select(
+                    "host",
+                    F.pmod(F.xxhash64("host"), F.lit(cfg.frontier_buckets))
+                    .cast("int")
+                    .alias("__b"),
+                )
+                .collect()
+            )
+            touched_fr = {r["__b"] for r in th}
+
         # ---- hosts politeness state (A4) ---------------------------------
         # only the admitted hosts change last_access_epoch this tick; the
         # bucketed path merges just those rows (read+write ∝ touched
@@ -922,42 +994,40 @@ class CrawlEngine:
         # A1 countdown, incremental (parsedItemsMap.size analog): per-feed
         # pending count = prior count + enqueued − processed articles — only
         # this tick's small frames aggregate; the pending frontier is NEVER
-        # re-scanned per feed
-        enq_cnt = new_tasks.groupBy("feed_canon").agg(
-            F.count(F.lit(1)).alias("__enq")
-        )
-        done_cnt = (
-            arts.select("feed_canon")
-            .unionByName(
-                denied.filter(F.col("kind") == "article").select("feed_canon")
+        # re-scanned per feed. The enqueue count, processed count, and
+        # progress clock fold into ONE tagged union + ONE aggregate (one
+        # broadcast join below instead of three): enqueues and processed
+        # items tick the progress clock at ``tick``; robots denials tick it
+        # at their ENQUEUE epoch (e_epoch-1), which makes the legacy
+        # admission-time and the heads-mode enqueue-time denial paths agree
+        # with the oracle on one clock (oracle/refsim.py progress()).
+        # Enqueue-time denials (heads mode) process for their feed in the
+        # same tick they were counted as enqueued — net-zero on the
+        # countdown, same final states as the oracle's t+1 processing.
+        def _delta(df, e, d, pc):
+            return df.select(
+                "feed_canon",
+                F.lit(e).alias("__e"),
+                F.lit(d).alias("__d"),
+                pc.cast("int").alias("__pc"),
             )
-            # enqueue-time denials (heads mode) process for their feed in
-            # the same tick they were counted as enqueued — net-zero on the
-            # countdown, same final states as the oracle's t+1 processing
-            .unionByName(denied_new.select("feed_canon"))
-            .groupBy("feed_canon")
-            .agg(F.count(F.lit(1)).alias("__done"))
-        )
-        # per-feed progress clock: enqueues and processed items tick the
-        # clock at ``tick``; robots denials tick it at their ENQUEUE epoch
-        # (e_epoch-1), which makes the legacy admission-time and the
-        # heads-mode enqueue-time denial paths agree with the oracle on
-        # one clock (oracle/refsim.py progress())
-        prog_cnt = (
-            new_tasks.select("feed_canon", F.lit(tick).alias("__pc"))
-            .unionByName(arts.select("feed_canon", F.lit(tick).alias("__pc")))
+
+        feed_deltas = (
+            _delta(new_tasks, 1, 0, F.lit(tick))
+            .unionByName(_delta(arts, 0, 1, F.lit(tick)))
             .unionByName(
-                denied.filter(F.col("kind") == "article").select(
-                    "feed_canon", (F.col("e_epoch") - 1).alias("__pc")
+                _delta(
+                    denied.filter(F.col("kind") == "article"),
+                    0, 1, F.col("e_epoch") - 1,
                 )
             )
-            .unionByName(
-                denied_new.select(
-                    "feed_canon", (F.col("e_epoch") - 1).alias("__pc")
-                )
-            )
+            .unionByName(_delta(denied_new, 0, 1, F.col("e_epoch") - 1))
             .groupBy("feed_canon")
-            .agg(F.max("__pc").alias("__prog"))
+            .agg(
+                F.sum("__e").alias("__enq"),
+                F.sum("__d").alias("__done"),
+                F.max("__pc").alias("__prog"),
+            )
         )
         np_col = (
             F.coalesce(F.col("pending_items"), F.lit(0))
@@ -966,9 +1036,7 @@ class CrawlEngine:
         )
         completing = (F.col("state") == "crawling") & (np_col == 0)
         feeds_new = (
-            feeds_mid.join(F.broadcast(enq_cnt), "feed_canon", "left")
-            .join(F.broadcast(done_cnt), "feed_canon", "left")
-            .join(F.broadcast(prog_cnt), "feed_canon", "left")
+            feeds_mid.join(F.broadcast(feed_deltas), "feed_canon", "left")
             .select(
                 "feed_canon",
                 "url",
@@ -1063,7 +1131,7 @@ class CrawlEngine:
                 else:
                     new_counts.pop(b, None)
             metrics_out["counts"] = new_counts
-            metrics_new = self.spark.createDataFrame(
+            metrics_new = self.tick_spark.createDataFrame(
                 metric_rows, S.METRICS_SCHEMA
             )
             return cat.write(
@@ -1131,12 +1199,15 @@ class CrawlEngine:
 
         def w_seen():
             if cfg.seen_buckets > 0:
-                # rewrite only touched buckets: per-epoch I/O ∝ upserts
+                # rewrite only touched buckets: per-epoch I/O ∝ upserts.
+                # tb_articles (from the gate stats job) ⊇ the upsert keys'
+                # buckets, so the merge skips its touch-collect job.
                 return cat.merge_bucketed(
                     "seen_urls",
                     seen_upserts,
                     on="url_canon",
                     base_version=v["seen_urls"],
+                    touched=tb_articles,
                 )
             seen_new = store_latest.join(
                 F.broadcast(seen_upserts.select("url_canon")),
@@ -1156,13 +1227,17 @@ class CrawlEngine:
         # per core. Tune with num_host_buckets on a real cluster.
         def w_frontier():
             if cfg.frontier_buckets > 0:
-                # touched-bucket state transition: write ∝ active hosts
+                # touched-bucket state transition: write ∝ active hosts;
+                # touched_fr (the shared th collect) covers both the
+                # inserts' and the deletes' hosts, skipping the merge's
+                # touch-collect job
                 return cat.merge_bucketed(
                     "frontier",
                     allowed_new,
                     on=key,
                     deletes=processed,
                     base_version=v["frontier"],
+                    touched=touched_fr,
                 )
             return cat.write("frontier", frontier_new.coalesce(big))
 
@@ -1191,23 +1266,13 @@ class CrawlEngine:
             # for exactly those hosts from their bucket-pruned frontier
             # rows and merge just their buckets. Read I/O ∝ touched
             # buckets + this tick's frames, NEVER O(|pending|); every
-            # other host's head row carries over untouched.
-            th = (
-                admitted.select("host")
-                .unionByName(allowed_new.select("host"))
-                .distinct()
-                .select(
-                    "host",
-                    F.pmod(F.xxhash64("host"), F.lit(cfg.frontier_buckets))
-                    .cast("int")
-                    .alias("__b"),
-                )
-                .collect()
-            )
+            # other host's head row carries over untouched. The host set
+            # is the shared th collect (gate denials are empty in heads
+            # mode, so th is exactly admitted ∪ allowed_new hosts).
             if not th:
                 return v["frontier_heads"]
-            touched_hb = {r["__b"] for r in th}
-            th_df = self.spark.createDataFrame(
+            touched_hb = touched_fr
+            th_df = self.tick_spark.createDataFrame(
                 [(r["host"],) for r in th], "host string"
             )
             live = (
@@ -1337,7 +1402,7 @@ class CrawlEngine:
             # every pending row just left the frontier — no heads remain
             nv["frontier_heads"] = cat.write_bucketed(
                 "frontier_heads",
-                self.spark.createDataFrame([], S.FRONTIER_SCHEMA),
+                self.tick_spark.createDataFrame([], S.FRONTIER_SCHEMA),
                 key="xxhash64(host)",
                 num_buckets=self.cfg.frontier_buckets,
             )
@@ -1395,7 +1460,7 @@ class CrawlEngine:
         )
         if not stalled:
             return None
-        fc_df = self.spark.createDataFrame(
+        fc_df = self.tick_spark.createDataFrame(
             [(r["feed_canon"],) for r in stalled], "feed_canon string"
         )
         tb_feeds = {r["__fb"] for r in stalled}
@@ -1445,7 +1510,7 @@ class CrawlEngine:
                 .collect()
             )
             touched_hb = {r["__b"] for r in th}
-            th_df = self.spark.createDataFrame(
+            th_df = self.tick_spark.createDataFrame(
                 [(r["host"],) for r in th], "host string"
             )
             live = (

@@ -9,9 +9,16 @@ loop, a write that stops overlapping — shows up as a job-count jump long
 before it is measurable through the noise.
 
 Measured reference points (8 cores, 20-feed synth corpus):
-  - scale-path defaults (bloom + seen/corpus/frontier buckets 16): ~68
-  - all bucketing off: ~50
-Bounds below leave ~20% headroom over those.
+  - scale-path defaults (bloom + seen/corpus/frontier/hosts/feeds buckets
+    16, incremental heads admission): ~51
+  - all bucketing off: ~36
+Bounds below leave ~20% headroom over those. Round-4 cuts that set these
+levels: tick plans run on an AQE-off cloned session (every tick plan is
+hand-shaped, so AQE only added one job per shuffle stage), the persisted
+seen-filter is cached in memory across ticks, the robots split and article
+rows are checkpointed once instead of re-broadcast per consumer, the three
+feed-count deltas fold into one aggregate, and the seen/frontier merges
+reuse touched-bucket sets collected once per tick.
 """
 
 from __future__ import annotations
@@ -69,9 +76,9 @@ def _steady_tick_jobs(spark, cfg: CrawlConfig, ticks: int = 4) -> int:
 
 def test_steady_tick_job_count_default_scale_path(spark):
     n = _steady_tick_jobs(spark, CrawlConfig(workers=16, max_epochs=8))
-    assert n <= 85, (
+    assert n <= 62, (
         f"steady tick launched {n} jobs at scale-path defaults "
-        f"(reference ~68): a fixed-cost fusion regressed"
+        f"(reference ~51): a fixed-cost fusion regressed"
     )
 
 
@@ -81,7 +88,7 @@ def test_steady_tick_job_count_buckets_off(spark):
         seen_buckets=0, corpus_buckets=0, frontier_buckets=0,
     )
     n = _steady_tick_jobs(spark, cfg)
-    assert n <= 62, (
+    assert n <= 45, (
         f"steady tick launched {n} jobs with bucketing off "
-        f"(reference ~50): a fixed-cost fusion regressed"
+        f"(reference ~36): a fixed-cost fusion regressed"
     )

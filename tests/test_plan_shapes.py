@@ -87,13 +87,15 @@ def test_seen_probe_anti_is_not_per_row(spark, sf001):
     assert "LeftAnti" in plan
 
 
-def test_minhash_uses_partial_aggregation(spark, sf001):
+def test_simhash_signatures_are_map_only(spark, sf001):
     import __spark_entry__ as E
 
     plan = sparkplan(E.queries()["dedup_simhash"](spark, sf001))
-    # explode → groupBy must partial-aggregate before the exchange
-    assert plan.count("HashAggregate") >= 2
-    assert "Generate explode" in plan or "Generate" in plan
+    # the signature fold must stay a per-doc column expression: no explode
+    # row blow-up and ZERO exchange over document data — the aggregate
+    # rides in the scan's project
+    assert "Generate" not in plan
+    assert "Exchange" not in plan
 
 
 def test_admit_global_cap_is_two_level_topk(spark):
