@@ -81,37 +81,6 @@ def minhash_signature(grams: Column, num_hashes: int = 16, seed: int = 42) -> Co
     return _minhash_fold(grams, num_hashes, seed, lambda acc: acc)
 
 
-def minhash_band_keys(
-    grams: Column,
-    num_hashes: int = 16,
-    bands: int = 8,
-    seed: int = 42,
-) -> Column:
-    """array<string> of LSH band keys 'b_h1_h2_..' straight from the fold.
-
-    The band keys are built inside the aggregate's finish lambda, where the
-    signature array is a bound variable — evaluated once — rather than a
-    sub-expression that projection collapse would re-inline per band."""
-    rows_per_band = num_hashes // bands
-
-    def finish(acc: Column) -> Column:
-        return F.array(
-            *[
-                F.concat_ws(
-                    "_",
-                    F.lit(str(b)),
-                    *[
-                        F.element_at(acc, b * rows_per_band + r + 1).cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-                for b in range(bands)
-            ]
-        )
-
-    return _minhash_fold(grams, num_hashes, seed, finish)
-
-
 def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
     """array<string> of band keys 'b:h1_h2_..' — group-by key for LSH buckets."""
     keys = []

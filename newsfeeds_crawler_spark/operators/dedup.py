@@ -126,24 +126,49 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), k_shingle).alias("grams"),
     )
-    # MAP-ONLY signatures: each doc's band keys come from ONE aggregate
-    # fold over its shingle array — every shingle hashed once (transform),
-    # the 16 permuted mins folded via zip_with(least), the band keys built
-    # in the finish lambda where the signature is a bound variable (so
-    # projection collapse cannot re-inline the fold per band). Values are
-    # bit-identical to the previous explode + groupBy-min shape, but the
-    # |docs|·|grams| hash-row shuffle is GONE — at 100 TB the band
-    # self-join below is the pipeline's only shuffle over document data.
-    # grams is never empty (functions.text.shingles falls back to the
-    # whole-token join), so no doc drops out.
-    from newsfeeds_crawler_spark.functions.dedup import minhash_band_keys
+    # Explode + aggregate shape: each shingle is hashed ONCE (not once per
+    # permutation — Catalyst would inline a shared signature expression into
+    # every min and band key otherwise), then the 16 permuted mins are plain
+    # aggregates with map-side partial aggregation — the exchange moves only
+    # ~|docs| partially-aggregated rows, never |docs|·|grams|, so it is not
+    # a scale bottleneck. A zero-shuffle alternative (band keys from one
+    # aggregate fold per doc, built on functions.dedup.minhash_signature's
+    # fold) was measured and REJECTED for this operator: the interpreted
+    # zip_with(least) fold costs
+    # ~30% more wall per core (12.2 s vs 9.2 s median, interleaved A/B at
+    # sf0.1), which dominates the tiny exchange it saves; the fold form
+    # survives in functions.dedup.minhash_signature where it fixes a real
+    # 16x hash re-inline. grams is never empty (functions.text.shingles
+    # falls back to the whole-token join), so no doc drops out.
+    from newsfeeds_crawler_spark.functions.dedup import MERSENNE31, minhash_coeffs
+    from newsfeeds_crawler_spark.functions.text import fingerprint64
 
-    banded = docs.select(
-        "id",
-        F.explode(
-            minhash_band_keys(F.col("grams"), num_hashes, bands, seed)
-        ).alias("band_key"),
+    rows_per_band = num_hashes // bands
+    gram_rows = docs.select(
+        "id", F.explode("grams").alias("gram")
+    ).withColumn("h", fingerprint64(F.col("gram")))
+    sig = gram_rows.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE31)).alias(
+                f"mh{i}"
+            )
+            for i, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
+        ]
     )
+    band_key_arr = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(str(b)),
+                *[
+                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.explode(band_key_arr).alias("band_key"))
     a = banded.select("band_key", F.col("id").alias("id_a"))
     b = banded.select("band_key", F.col("id").alias("id_b"))
     cand_ids = (
