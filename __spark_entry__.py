@@ -315,6 +315,34 @@ def q_frontier_heads_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("hostn", "event_id", "ts", "admit_rank")
 
 
+def q_politeness_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host pending quota (crawl-trap guard, plans/driver.py
+    host_pending_cap): new tasks consume a host's remaining quota in FIFO
+    order — position within the tick (row_number per host) plus the host's
+    prior pending count must stay within the cap; overflow rows are
+    terminally denied. One window + one broadcast-sized count join; the
+    pending frontier itself is never scanned (counts are maintained
+    incrementally on the hosts table)."""
+    ev = _t(spark, sf_dir, "events")
+    hosted = ev.select(
+        "event_id",
+        "ts",
+        (F.col("user_id") % 50).cast("long").alias("hostn"),
+    )
+    # prior pending count per host: a deterministic stand-in for the
+    # incrementally maintained hosts.pending_count column
+    wq = Window.partitionBy("hostn").orderBy("ts", "event_id")
+    return hosted.select(
+        "hostn",
+        "event_id",
+        "ts",
+        F.row_number().over(wq).cast("int").alias("qpos"),
+        (
+            F.row_number().over(wq) + (F.col("hostn") % 7) <= F.lit(8)
+        ).alias("admitted"),
+    )
+
+
 def q_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+A2/S7 — per-feed completion count + watermark aggregate."""
     li = _t(spark, sf_dir, "lineitem")
@@ -942,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_admission": q_politeness_admission,
         "frontier_fifo_topk": q_frontier_fifo_topk,
         "frontier_heads_admit": q_frontier_heads_admit,
+        "politeness_quota": q_politeness_quota,
         "watermark_agg": q_watermark_agg,
         "upsert_latest": q_upsert_latest,
         "host_last_access": q_host_last_access,
@@ -1102,6 +1131,17 @@ def oracle_sql() -> dict[str, str]:
                        AS admit_rank
             FROM adm
             ORDER BY ts, event_id LIMIT 24
+        """,
+        "politeness_quota": """
+            SELECT (user_id % 50)::BIGINT AS hostn, event_id, ts,
+                   (row_number() OVER (
+                        PARTITION BY user_id % 50
+                        ORDER BY ts, event_id))::INT AS qpos,
+                   (row_number() OVER (
+                        PARTITION BY user_id % 50
+                        ORDER BY ts, event_id)
+                    + ((user_id % 50) % 7)) <= 8 AS admitted
+            FROM events
         """,
         "watermark_agg": """
             SELECT l_orderkey, count(*)::BIGINT AS n_items,

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "politeness_admission",
     "frontier_fifo_topk",
     "frontier_heads_admit",
+    "politeness_quota",
     "watermark_agg",
     "upsert_latest",
     "status_routing",

@@ -98,10 +98,20 @@ def simulate(
     socket_timeout_ms: int = 0,
     starvation_epochs: int = 0,
     feed_stall_epochs: int = 0,
+    host_pending_cap: int = 0,
 ) -> OracleResult:
     """Both weights 0.0 -> constant priority -> the reference's pure
     mailbox FIFO. Non-zero weights replay the engine's priority frontier:
-    admission order = (priority, FIFO key) ascending."""
+    admission order = (priority, FIFO key) ascending.
+
+    ``host_pending_cap`` > 0 replays the engine's crawl-trap guard: a new
+    article task enters the frontier only while its host's PENDING count
+    stays below the cap; overflow items are terminal 'quota_denied' (they
+    process for their feed at their enqueue epoch, like an enqueue-time
+    robots denial). Quota consumption order within a tick is the FIFO key
+    (rank, sub). The mode implies enqueue-time robots denial (heads mode):
+    denied rows never occupy the frontier, so they never consume quota —
+    this is the invariant that makes the count well-defined."""
     spec = corpus.spec
     delay_epochs = {
         h: max(1, math.ceil(info["crawl_delay_ms"] / spec.tick_ms))
@@ -112,11 +122,18 @@ def simulate(
     tasks: list[Task] = []
     for i, seed in enumerate(corpus.seeds):
         c = canonicalize_url_py(seed)
-        tasks.append(Task(
-            seed, c, url_host_py(seed), "feed", (0, i, 0), feed_canon=c,
+        h = url_host_py(seed)
+        t = Task(
+            seed, c, h, "feed", (0, i, 0), feed_canon=c,
             priority=_priority_py(0, None, depth_weight, recency_weight),
-        ))
+        )
         res.feeds[c] = {"state": "pending", "last_pub_ts": None}
+        if host_pending_cap > 0 and _disallowed(corpus, h, c):
+            # enqueue-time robots (heads mode): a denied seed never enters
+            # the frontier; the feed dies at init
+            t.state = "robots_denied"
+            res.feeds[c]["state"] = "dead"
+        tasks.append(t)
 
     # seen store = the article table keyed by canonical URL (preseen = fixtures)
     store: dict[str, dict] = {
@@ -187,19 +204,21 @@ def simulate(
         if not pending:
             break
 
-        # robots gate at admission time
-        still = []
-        for t in pending:
-            if _disallowed(corpus, t.host, t.url_canon):
-                t.state = "robots_denied"
-                if t.kind == "article":
-                    progress(t.feed_canon, t.key[0] - 1)
-                    item_processed(t.feed_canon, (t.url_canon, t.key[2]))
+        # robots gate at admission time (quota mode gates at enqueue
+        # instead — no pending row can be disallowed there)
+        if host_pending_cap == 0:
+            still = []
+            for t in pending:
+                if _disallowed(corpus, t.host, t.url_canon):
+                    t.state = "robots_denied"
+                    if t.kind == "article":
+                        progress(t.feed_canon, t.key[0] - 1)
+                        item_processed(t.feed_canon, (t.url_canon, t.key[2]))
+                    else:
+                        res.feeds[t.feed_canon]["state"] = "dead"
                 else:
-                    res.feeds[t.feed_canon]["state"] = "dead"
-            else:
-                still.append(t)
-        pending = still
+                    still.append(t)
+            pending = still
 
         # W2/W3/W4: FIFO skip-scan, one per host, global workers cap
         taken_hosts: set[str] = set()
@@ -214,6 +233,16 @@ def simulate(
             taken_hosts.add(t.host)
         # politeness-stall metric: tasks left waiting this tick
         stalls = len(pending) - len(admitted)
+
+        # crawl-trap quota: pending counts AFTER this tick's departures
+        # (every admitted row leaves pending), consumed in FIFO-key order
+        # by this tick's enqueues — the engine's bulk rule exactly
+        host_pending: dict[str, int] = {}
+        if host_pending_cap > 0:
+            admitted_ids = {id(t) for t in admitted}
+            for t in pending:
+                if id(t) not in admitted_ids:
+                    host_pending[t.host] = host_pending.get(t.host, 0) + 1
 
         dedup_hits = 0
         enqueued = 0
@@ -262,16 +291,33 @@ def simulate(
                     if stored is not None:
                         dedup_hits += 1
                     if fetch:
-                        pend.add((ic, sub))
-                        tasks.append(Task(
-                            raw_link, ic, url_host_py(raw_link), "article",
+                        ih = url_host_py(raw_link)
+                        nt = Task(
+                            raw_link, ic, ih, "article",
                             (epoch + 1, rank, sub), feed_canon=fc,
                             parsed_pub_ts=item_ts,
                             stored_id=None if stored is None else stored["article_id"],
                             priority=_priority_py(
                                 1, item_ts, depth_weight, recency_weight
                             ),
-                        ))
+                        )
+                        if host_pending_cap > 0 and _disallowed(corpus, ih, ic):
+                            # enqueue-time robots (heads mode): terminal,
+                            # processes for its feed at the enqueue epoch,
+                            # never pending, never consumes quota
+                            nt.state = "robots_denied"
+                            progress(fc, epoch)
+                        elif (
+                            host_pending_cap > 0
+                            and host_pending.get(ih, 0) >= host_pending_cap
+                        ):
+                            nt.state = "quota_denied"
+                            progress(fc, epoch)
+                        else:
+                            pend.add((ic, sub))
+                            if host_pending_cap > 0:
+                                host_pending[ih] = host_pending.get(ih, 0) + 1
+                        tasks.append(nt)
                         enqueued += 1
                         sub += 1
                     # skip -> item never registered as pending (processed inline)

@@ -143,6 +143,19 @@ class CrawlConfig:
     # >= 2 (a task's pending window before a robots denial is one tick —
     # N=1 would let the sweep race the denial, diverging from the oracle).
     feed_stall_epochs: int = 0
+    # crawl-trap guard (priority-frontier extension, no reference analog):
+    # cap the number of PENDING frontier rows per host. New article tasks
+    # that would push a host past the cap are dropped terminally
+    # (state='quota_denied' in the log; they process for their feed's
+    # countdown at their enqueue epoch, exactly like an enqueue-time robots
+    # denial), so one link-farm / calendar-trap host can never grow its
+    # queue without bound while politeness admits it 1 URL/delay. Counts
+    # are maintained incrementally on the hosts table (per-tick deltas ∝
+    # admitted + enqueued rows — the pending frontier is NEVER re-scanned).
+    # Requires heads mode (enqueue-time robots), because quota consumption
+    # is only well-defined when denied rows never occupy the frontier.
+    # 0 = off.
+    host_pending_cap: int = 0
     # compact the append-only tables (frontier_log/metrics/errors) every N
     # epochs: each epoch appends one directory, so an uncompacted 10^4-epoch
     # run reads 10^4 dirs per log scan; compaction rewrites the log as one
@@ -345,6 +358,20 @@ class CrawlEngine:
                 key="xxhash64(host)",
                 num_buckets=cfg.frontier_buckets,
             )
+        # per-host pending counts start at the seed frontier's counts; the
+        # quota guard maintains them per tick (delta merges), every other
+        # mode just carries them
+        seed_counts = allowed0.groupBy("host").agg(
+            F.count(F.lit(1)).cast("long").alias("__pc")
+        )
+        hosts0 = (
+            hosts0.join(seed_counts, "host", "left")
+            .withColumn(
+                "pending_count", F.coalesce(F.col("__pc"), F.lit(0).cast("long"))
+            )
+            .drop("__pc")
+            .select(*[f.name for f in S.HOSTS_SCHEMA.fields])
+        )
         if cfg.hosts_buckets > 0:
             hosts_v = self.cat.write_bucketed(
                 "hosts", hosts0, key="xxhash64(host)",
@@ -518,6 +545,14 @@ class CrawlEngine:
         # initialized without the table (legacy layout, or starvation mode)
         # falls back to the full-frontier scan.
         heads_on = "frontier_heads" in v
+        if cfg.host_pending_cap > 0 and not heads_on:
+            raise ValueError(
+                "host_pending_cap requires heads mode (frontier_heads on, "
+                "frontier_buckets > 0, starvation_epochs == 0, a workdir "
+                "initialized with a heads table): quota consumption is only "
+                "well-defined when robots denial happens at enqueue time, "
+                "so denied rows never occupy the frontier"
+            )
 
         # ONE materialization job for the admission outcome (tag-union of
         # admitted ∪ denied) + ONE count job — the per-epoch fixed cost is
@@ -772,18 +807,60 @@ class CrawlEngine:
         else:
             an0 = new_tasks
             dn0 = self.tick_spark.createDataFrame([], S.FRONTIER_SCHEMA)
+        if cfg.host_pending_cap > 0:
+            # crawl-trap quota: a robots-allowed new task enters the
+            # frontier only while its host's pending count stays <= cap.
+            # Count-after-departures __mid = stored count − this tick's
+            # admitted rows (every admitted row leaves pending in heads
+            # mode); position within the tick's arrivals is the FIFO key
+            # order — the same deterministic order the oracle consumes
+            # quota in. The hosts scan is map-only (broadcast semi on the
+            # candidate hosts); the per-host math joins back broadcast.
+            dec = admitted.groupBy("host").agg(
+                F.count(F.lit(1)).cast("long").alias("__dec")
+            )
+            cnt_cand = (
+                hosts.select("host", "pending_count")
+                .join(F.broadcast(an0.select("host").distinct()), "host", "inner")
+                .join(F.broadcast(dec), "host", "left")
+                .select(
+                    "host",
+                    (
+                        F.coalesce(F.col("pending_count"), F.lit(0))
+                        - F.coalesce(F.col("__dec"), F.lit(0))
+                    ).alias("__mid"),
+                )
+            )
+            wq = Window.partitionBy("host").orderBy("e_epoch", "e_rank", "e_sub")
+            an_tagged = (
+                an0.join(F.broadcast(cnt_cand), "host", "left")
+                .withColumn("__qpos", F.row_number().over(wq))
+                .withColumn(
+                    "__g",
+                    F.when(
+                        F.col("__qpos") + F.coalesce(F.col("__mid"), F.lit(0))
+                        <= F.lit(cfg.host_pending_cap),
+                        F.lit("a"),
+                    ).otherwise(F.lit("q")),
+                )
+                .drop("__qpos", "__mid")
+            )
+        else:
+            dec = None
+            an_tagged = an0.withColumn("__g", F.lit("a"))
         # checkpoint the split ONCE (tag-union, same shape as the gate):
         # allowed_new/denied_new feed ~8 downstream plans (frontier merge,
         # heads maintenance, log rows, feed-count deltas, metrics tags) and
         # each un-checkpointed evaluation would re-run the robots broadcast
         # join + the e_sub window — one materialization job replaces them
         rsplit = (
-            an0.withColumn("__g", F.lit("a"))
+            an_tagged
             .unionByName(dn0.withColumn("__g", F.lit("d")))
             .localCheckpoint(eager=False)
         )
         allowed_new = rsplit.filter(F.col("__g") == "a").drop("__g")
         denied_new = rsplit.filter(F.col("__g") == "d").drop("__g")
+        quota_denied = rsplit.filter(F.col("__g") == "q").drop("__g")
         new_tasks = rsplit.drop("__g")  # allowed ∪ denied == the full set
 
         # ---- article branch: upsert rows (decode already materialized) ---
@@ -890,6 +967,14 @@ class CrawlEngine:
                     F.lit(None),
                 )
             )
+            .unionByName(
+                terminal(
+                    quota_denied,
+                    F.lit("quota_denied"),
+                    F.lit(None),
+                    F.lit(None),
+                )
+            )
         )
         # ``host`` rides along so the bucketed-frontier merge can compute
         # the deletes' touched buckets (bucket key = xxhash64(host))
@@ -914,6 +999,7 @@ class CrawlEngine:
         # count in the concurrent write pool).
         th: list = []
         touched_fr: set[int] | None = None
+        tb_hosts_u = tb_hosts
         if cfg.frontier_buckets > 0:
             th = (
                 admitted.select("host")
@@ -925,18 +1011,82 @@ class CrawlEngine:
                     F.pmod(F.xxhash64("host"), F.lit(cfg.frontier_buckets))
                     .cast("int")
                     .alias("__b"),
+                    F.pmod(
+                        F.xxhash64("host"), F.lit(max(cfg.hosts_buckets, 1))
+                    )
+                    .cast("int")
+                    .alias("__hb"),
                 )
                 .collect()
             )
             touched_fr = {r["__b"] for r in th}
+            if cfg.host_pending_cap > 0 and cfg.hosts_buckets > 0:
+                # quota mode touches the enqueued hosts' count rows too
+                tb_hosts_u = tb_hosts | {r["__hb"] for r in th}
 
         # ---- hosts politeness state (A4) ---------------------------------
         # only the admitted hosts change last_access_epoch this tick; the
         # bucketed path merges just those rows (read+write ∝ touched
         # buckets — ref: hostAccessMap point update, HttpManager.scala:
         # 122-124). The legacy path keeps the full copy-on-write snapshot.
+        # With the quota guard on, the same merge also moves the per-host
+        # pending counts: −admitted (left pending) +quota-allowed enqueues,
+        # over admitted ∪ enqueued hosts (the th set) — write I/O stays
+        # ∝ this tick's active hosts, never |hosts|.
         admitted_hosts = admitted.select("host").distinct()
-        if cfg.hosts_buckets > 0:
+        if cfg.host_pending_cap > 0:
+            inc = allowed_new.groupBy("host").agg(
+                F.count(F.lit(1)).cast("long").alias("__inc")
+            )
+            count_cols = (
+                F.coalesce(F.col("pending_count"), F.lit(0))
+                - F.coalesce(F.col("__dec"), F.lit(0))
+                + F.coalesce(F.col("__inc"), F.lit(0))
+            ).alias("pending_count")
+            if cfg.hosts_buckets > 0:
+                th_hosts = self.tick_spark.createDataFrame(
+                    [(r["host"],) for r in th], "host string"
+                )
+                hosts_upd = (
+                    cat.read("hosts", v["hosts"], buckets=tb_hosts_u)
+                    .join(F.broadcast(th_hosts), "host", "inner")
+                    .join(
+                        F.broadcast(
+                            admitted_hosts.withColumn(
+                                "__la", F.lit(tick).cast("int")
+                            )
+                        ),
+                        "host",
+                        "left",
+                    )
+                    .join(F.broadcast(dec), "host", "left")
+                    .join(F.broadcast(inc), "host", "left")
+                    .withColumn(
+                        "last_access_epoch",
+                        F.coalesce("__la", "last_access_epoch"),
+                    )
+                    .withColumn("pending_count", count_cols)
+                    .select(*[f.name for f in S.HOSTS_SCHEMA.fields])
+                )
+            else:
+                hosts_upd = (
+                    hosts.join(
+                        admitted_hosts.withColumn(
+                            "__la", F.lit(tick).cast("int")
+                        ),
+                        "host",
+                        "left",
+                    )
+                    .join(F.broadcast(dec), "host", "left")
+                    .join(F.broadcast(inc), "host", "left")
+                    .withColumn(
+                        "last_access_epoch",
+                        F.coalesce("__la", "last_access_epoch"),
+                    )
+                    .withColumn("pending_count", count_cols)
+                    .select(*[f.name for f in S.HOSTS_SCHEMA.fields])
+                )
+        elif cfg.hosts_buckets > 0:
             hosts_upd = (
                 cat.read("hosts", v["hosts"], buckets=tb_hosts)
                 .join(F.broadcast(admitted_hosts), "host", "inner")
@@ -1022,6 +1172,9 @@ class CrawlEngine:
                 )
             )
             .unionByName(_delta(denied_new, 0, 1, F.col("e_epoch") - 1))
+            # quota-denied items mirror enqueue-time robots denials exactly:
+            # enqueued-and-processed in one tick, net-zero on the countdown
+            .unionByName(_delta(quota_denied, 0, 1, F.col("e_epoch") - 1))
             .groupBy("feed_canon")
             .agg(
                 F.sum("__e").alias("__enq"),
@@ -1083,6 +1236,9 @@ class CrawlEngine:
             # of the pending-count recurrence and are reported in the
             # robots_denied metric column alongside pending-side denials
             .unionByName(tag(denied_new, "q"))
+            # "x" = host-quota denials: same never-pending accounting; they
+            # appear only in the terminal log, not in a metric column
+            .unionByName(tag(quota_denied, "x"))
         )
 
         def m(t):
@@ -1105,6 +1261,7 @@ class CrawlEngine:
                     m("e").alias("e"),
                     m("r").alias("r"),
                     m("q").alias("q"),
+                    m("x").alias("x"),
                 )
                 .collect()
             }
@@ -1114,18 +1271,19 @@ class CrawlEngine:
                 set(act) | {b for b, n in pending_counts.items() if n > 0}
             ):
                 a = act.get(b)
-                f_, d_, e_, r_, q_ = (
-                    (a["f"], a["d"], a["e"], a["r"], a["q"])
+                f_, d_, e_, r_, q_, x_ = (
+                    (a["f"], a["d"], a["e"], a["r"], a["q"], a["x"])
                     if a is not None
-                    else (0, 0, 0, 0, 0)
+                    else (0, 0, 0, 0, 0, 0)
                 )
                 p = pending_counts.get(b, 0)
                 # stalls = pending rows left waiting (enqueue denials were
                 # never pending, so q_ does not enter); robots_denied
                 # reports both denial paths; the pending recurrence nets
-                # out q_ from e_ (denied items were counted as enqueued)
+                # out q_ (robots) and x_ (quota) from e_ (denied items
+                # were counted as enqueued)
                 metric_rows.append((tick, b, f_, p - f_ - r_, d_, e_, r_ + q_))
-                nb = p - f_ - r_ + e_ - q_
+                nb = p - f_ - r_ + e_ - q_ - x_
                 if nb:
                     new_counts[b] = nb
                 else:
@@ -1243,10 +1401,11 @@ class CrawlEngine:
 
         def w_hosts():
             if cfg.hosts_buckets > 0:
-                # rewrite only the admitted hosts' buckets
+                # rewrite only the admitted hosts' buckets (∪ the enqueued
+                # hosts' count-row buckets when the quota guard is on)
                 return cat.merge_bucketed(
                     "hosts", hosts_upd, on="host",
-                    base_version=v["hosts"], touched=tb_hosts,
+                    base_version=v["hosts"], touched=tb_hosts_u,
                 )
             return cat.write("hosts", hosts_upd.coalesce(small))
 
@@ -1565,6 +1724,52 @@ class CrawlEngine:
             nv["feeds"] = cat.write(
                 "feeds", feeds_upd.localCheckpoint(eager=True)
             )
+        if cfg.host_pending_cap > 0:
+            # quota counts: the quarantined rows left pending — decrement
+            # their hosts (merge ∝ the stalled rows' host buckets)
+            sdec = stuck.groupBy("host").agg(
+                F.count(F.lit(1)).cast("long").alias("__sdec")
+            )
+            hfields = [f.name for f in S.HOSTS_SCHEMA.fields]
+            new_pc = (
+                F.coalesce(F.col("pending_count"), F.lit(0))
+                - F.coalesce(F.col("__sdec"), F.lit(0))
+            )
+            if cfg.hosts_buckets > 0:
+                hb = (
+                    stuck.select("host")
+                    .distinct()
+                    .select(
+                        "host",
+                        F.pmod(F.xxhash64("host"), F.lit(cfg.hosts_buckets))
+                        .cast("int")
+                        .alias("__hb"),
+                    )
+                    .collect()
+                )
+                tb_h = {r["__hb"] for r in hb}
+                h_df = self.tick_spark.createDataFrame(
+                    [(r["host"],) for r in hb], "host string"
+                )
+                hosts_upd = (
+                    cat.read("hosts", v["hosts"], buckets=tb_h)
+                    .join(F.broadcast(h_df), "host", "inner")
+                    .join(F.broadcast(sdec), "host", "left")
+                    .withColumn("pending_count", new_pc)
+                    .select(*hfields)
+                )
+                nv["hosts"] = cat.merge_bucketed(
+                    "hosts", hosts_upd, on="host",
+                    base_version=v["hosts"], touched=tb_h,
+                )
+            else:
+                hosts_upd = (
+                    cat.read("hosts", v["hosts"])
+                    .join(F.broadcast(sdec), "host", "left")
+                    .withColumn("pending_count", new_pc)
+                    .select(*hfields)
+                )
+                nv["hosts"] = cat.write("hosts", hosts_upd)
         removed = stuck.groupBy(
             host_bucket(F.col("host"), cfg.num_host_buckets).alias("b")
         ).agg(F.count(F.lit(1)).alias("n")).collect()

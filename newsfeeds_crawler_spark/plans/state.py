@@ -35,7 +35,8 @@ FRONTIER_SCHEMA = StructType(
         # FIFO key) ascending — 0.0 everywhere degenerates to the
         # reference's pure mailbox FIFO, which the equivalence oracle runs
         StructField("priority", DoubleType(), False),
-        # state: pending | fetched | done | skipped | robots_denied
+        # state: pending | fetched | done | skipped | robots_denied |
+        # quota_denied (host_pending_cap crawl-trap guard) | stalled
         StructField("state", StringType(), False),
         StructField("fetch_epoch", IntegerType(), True),
         StructField("admit_rank", IntegerType(), True),
@@ -50,6 +51,11 @@ HOSTS_SCHEMA = StructType(
         StructField("delay_epochs", IntegerType(), False),
         StructField("robots_disallow", StringType(), True),
         StructField("last_access_epoch", IntegerType(), True),
+        # number of pending frontier rows on this host — maintained
+        # incrementally (per-tick deltas, never a frontier scan) ONLY when
+        # the host_pending_cap crawl-trap guard is on; carried as-is (the
+        # init-time seed counts) otherwise
+        StructField("pending_count", LongType(), True),
     ]
 )
 

@@ -58,6 +58,10 @@ def main():
                          "(bucket-local rewrite); 0 = never")
     ap.add_argument("--depth-weight", type=float, default=0.0)
     ap.add_argument("--recency-weight", type=float, default=0.0)
+    ap.add_argument("--host-pending-cap", type=int, default=0,
+                    help="crawl-trap guard: max pending frontier rows per "
+                         "host; overflow enqueues are dropped terminally "
+                         "(quota_denied). Requires heads mode. 0 = off")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the last committed epoch in workdir")
     ap.add_argument("--config", default=None,
@@ -96,6 +100,7 @@ def main():
         compact_articles_every=args.compact_articles_every,
         depth_weight=args.depth_weight,
         recency_weight=args.recency_weight,
+        host_pending_cap=args.host_pending_cap,
     )
     if args.config:
         from newsfeeds_crawler_spark.config import CrawlerConfiguration
