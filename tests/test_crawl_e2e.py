@@ -404,13 +404,16 @@ def test_log_compaction_preserves_results_and_bounds_dirs(spark, tmp_path):
 def test_all_knobs_combined_exact(spark, tmp_path):
     """Feature-interaction gate: bucketed seen store + cuckoo prefilter +
     bucketed corpus + compressed bodies + priority weights + salting +
-    log compaction + vacuum + mid-run kill/resume — ALL at once, still
-    exactly equal to the oracle replay."""
+    log compaction + vacuum + host pending quota + mid-run kill/resume —
+    ALL at once, still exactly equal to the oracle replay."""
     from newsfeeds_crawler_spark.synth.tables import corpus_df_compressed
 
     corpus = synthesize(CorpusSpec(n_feeds=6, items_per_feed=6, n_hosts=5))
-    w = dict(depth_weight=2000.0, recency_weight=1e-6)
+    w = dict(depth_weight=2000.0, recency_weight=1e-6, host_pending_cap=3)
     oracle = simulate(corpus, **w)
+    # the quota knob must actually bind in this spec, or adding it to the
+    # matrix proves nothing
+    assert sum(1 for t in oracle.tasks if t.state == "quota_denied") > 0
 
     def mk(max_epochs=10_000):
         cfg = CrawlConfig(
