@@ -38,7 +38,10 @@ def main():
     ap.add_argument("--seen-buckets", type=int, default=0)
     ap.add_argument("--corpus-buckets", type=int, default=0)
     ap.add_argument("--frontier-buckets", type=int, default=0)
+    ap.add_argument("--hosts-buckets", type=int, default=16)
+    ap.add_argument("--feeds-buckets", type=int, default=16)
     ap.add_argument("--salt-partitions", type=int, default=0)
+    ap.add_argument("--no-speculative-gate", action="store_true")
     args = ap.parse_args()
 
     from newsfeeds_crawler_spark.plans import CrawlConfig, CrawlEngine
@@ -60,7 +63,10 @@ def main():
         seen_buckets=args.seen_buckets,
         corpus_buckets=args.corpus_buckets,
         frontier_buckets=args.frontier_buckets,
+        hosts_buckets=args.hosts_buckets,
+        feeds_buckets=args.feeds_buckets,
         salt_partitions=args.salt_partitions,
+        speculative_gate=not args.no_speculative_gate,
         max_epochs=args.ticks,
     )
     eng = CrawlEngine(
@@ -80,6 +86,18 @@ def main():
         return v
 
     cat.write = timed_write
+    for meth in ("merge_bucketed", "append_bucketed", "write_bucketed"):
+        def _mk(m):
+            orig = getattr(cat, m)
+
+            def timed(name, *a, **kw):
+                t0 = time.time()
+                v = orig(name, *a, **kw)
+                times.setdefault(f"{m}:{name}", []).append(time.time() - t0)
+                return v
+
+            return timed
+        setattr(cat, meth, _mk(meth))
     v = eng.init_state()
     from pyspark.sql import functions as F
 
