@@ -42,6 +42,7 @@ def main():
     ap.add_argument("--feeds-buckets", type=int, default=16)
     ap.add_argument("--salt-partitions", type=int, default=0)
     ap.add_argument("--no-speculative-gate", action="store_true")
+    ap.add_argument("--no-frontier-heads", action="store_true")
     args = ap.parse_args()
 
     from newsfeeds_crawler_spark.plans import CrawlConfig, CrawlEngine
@@ -67,6 +68,7 @@ def main():
         feeds_buckets=args.feeds_buckets,
         salt_partitions=args.salt_partitions,
         speculative_gate=not args.no_speculative_gate,
+        frontier_heads=not args.no_frontier_heads,
         max_epochs=args.ticks,
     )
     eng = CrawlEngine(
