@@ -507,6 +507,18 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF retrieval (operators/tfidf.py): every 37th document queries
+    the whole documents table, top-5 matches by tf-idf cosine. Weights are
+    integer-quantized (round((ln((N+1)/(df+1))+1)·10⁴)) so every dot/norm
+    is an exact int64 sum — order-independent, hence oracle-HASHABLE —
+    and only the final score divides in double (round 6dp)."""
+    from newsfeeds_crawler_spark.operators.tfidf import tfidf_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_topk(d, d.filter(F.col("doc_id") % 37 == 0), k=5)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish) and rolling-hash fingerprint."""
     d = _t(spark, sf_dir, "documents")
@@ -988,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_multiprobe": q_similarity_ivf_multiprobe,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_stats": q_text_stats,
+        "text_tfidf_topk": q_text_tfidf_topk,
         "text_lang_quality": q_text_lang_quality,
         "text_bpe_tokens": q_text_bpe_tokens,
         "metrics_rollup": q_metrics_rollup,
@@ -1365,6 +1378,43 @@ def oracle_sql() -> dict[str, str]:
                 FROM asg a JOIN asg b USING (cell)
                 WHERE a.id < b.id)
             WHERE sim >= 0.3
+        """,
+        "text_tfidf_topk": """
+            WITH tf AS (
+                SELECT doc_id AS id, term, count(*)::BIGINT AS tf
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(lower(trim(text)),
+                                                       '\\s+')) AS term
+                      FROM documents)
+                WHERE term <> '' GROUP BY 1, 2
+            ), nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            idf AS (
+                SELECT term,
+                       round((ln((nd.n + 1.0) / (count(*) + 1.0)) + 1.0)
+                             * 10000)::BIGINT AS iw
+                FROM tf, nd GROUP BY term, nd.n
+            ), dw AS (
+                SELECT id, term, tf * iw AS w FROM tf JOIN idf USING (term)
+            ), dn AS (SELECT id, sum(w * w)::BIGINT AS n2 FROM dw GROUP BY id),
+            qw AS (SELECT id AS qid, term, w AS qwv FROM dw
+                   WHERE qid % 37 = 0),
+            qn AS (SELECT qid, sum(qwv * qwv)::BIGINT AS qn2
+                   FROM qw GROUP BY qid),
+            dt AS (
+                SELECT qid, id, sum(w * qwv)::BIGINT AS dot
+                FROM dw JOIN qw USING (term) WHERE id <> qid GROUP BY 1, 2
+            ), scored AS (
+                SELECT qid, id,
+                       round(dot / (sqrt(qn2::DOUBLE) * sqrt(n2::DOUBLE)),
+                             6) AS score
+                FROM dt JOIN dn USING (id) JOIN qn USING (qid)
+            )
+            SELECT qid AS query_id,
+                   (row_number() OVER (
+                        PARTITION BY qid
+                        ORDER BY score DESC, id ASC))::INT AS rank,
+                   id AS match_id, score
+            FROM scored QUALIFY rank <= 5
         """,
         "text_stats": f"""
             SELECT doc_id,

@@ -1,0 +1,79 @@
+"""TF-IDF retrieval (operators/tfidf.py) — exact equality vs a pure-Python
+replication of the integer-quantized contract, plus ranking sanity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from newsfeeds_crawler_spark.operators.tfidf import SCALE, tfidf_topk
+
+DOCS = [
+    (0, "spark shuffle join broadcast join"),
+    (1, "spark shuffle join broadcast join"),          # exact dup of 0
+    (2, "spark window rank filter"),
+    (3, "duck oracle hash gate gate gate"),
+    (4, "broadcast join spark"),
+    (5, "completely different words entirely"),
+    (6, "window rank spark filter extra"),
+]
+
+
+def _py_tfidf_topk(docs, query_ids, k):
+    toks = {i: t.lower().split() for i, t in docs}
+    tf = {i: {} for i, _ in docs}
+    for i, ts in toks.items():
+        for t in ts:
+            tf[i][t] = tf[i].get(t, 0) + 1
+    n = len(docs)
+    df = {}
+    for i in tf:
+        for t in tf[i]:
+            df[t] = df.get(t, 0) + 1
+    iw = {
+        t: round((math.log((n + 1.0) / (d + 1.0)) + 1.0) * SCALE)
+        for t, d in df.items()
+    }
+    w = {i: {t: c * iw[t] for t, c in tf[i].items()} for i in tf}
+    n2 = {i: sum(v * v for v in ws.values()) for i, ws in w.items()}
+    out = []
+    for q in query_ids:
+        scored = []
+        for i in w:
+            if i == q:
+                continue
+            dot = sum(w[q][t] * w[i][t] for t in w[q] if t in w[i])
+            if dot == 0:
+                continue  # engine only scores docs sharing a term
+            s = round(dot / (math.sqrt(n2[q]) * math.sqrt(n2[i])), 6)
+            scored.append((i, s))
+        scored.sort(key=lambda p: (-p[1], p[0]))
+        for r, (i, s) in enumerate(scored[:k], 1):
+            out.append((q, r, i, s))
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = docs.filter("doc_id in (0, 3, 5)")
+    rows = tfidf_topk(docs, qs, k=3).collect()
+    return sorted(
+        (r["query_id"], r["rank"], r["match_id"], r["score"]) for r in rows
+    )
+
+
+def test_matches_python_replication_exactly(result):
+    assert result == _py_tfidf_topk(DOCS, [0, 3, 5], 3)
+
+
+def test_exact_duplicate_ranks_first_with_cosine_one(result):
+    top = {(q, r): (m, s) for q, r, m, s in result}
+    assert top[(0, 1)] == (1, 1.0)
+
+
+def test_disjoint_doc_gets_no_matches(result):
+    # doc 5 shares no term with any other doc -> inverted-index join
+    # yields nothing for it (never a cross join producing zero scores)
+    assert not [r for r in result if r[0] == 5]
