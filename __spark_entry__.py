@@ -316,30 +316,62 @@ def q_frontier_heads_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_politeness_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-host pending quota (crawl-trap guard, plans/driver.py
-    host_pending_cap): new tasks consume a host's remaining quota in FIFO
-    order — position within the tick (row_number per host) plus the host's
-    prior pending count must stay within the cap; overflow rows are
-    terminally denied. One window + one broadcast-sized count join; the
-    pending frontier itself is never scanned (counts are maintained
-    incrementally on the hosts table)."""
+    """Per-host pending quota — the engine's EXACT count-after-departures
+    bulk rule (plans/driver.py host_pending_cap path): a host's prior
+    stored pending_count (the incrementally-maintained hosts-table column)
+    minus this tick's admitted departures gives __mid; an arriving task is
+    admitted iff its FIFO position within the tick's arrivals plus __mid
+    stays within the cap. Expressed over the driver tables the same way
+    the tick does it: one departures aggregate, one broadcast count join,
+    one per-host FIFO window — the pending frontier is never scanned.
+
+    Table mapping: arrivals = events rows (hostn = user_id % 50, FIFO key
+    (ts, event_id) ~ the frontier's (e_epoch, e_rank, e_sub)); the prior
+    counts table derives from orders; the tick's departures from lineitem."""
     ev = _t(spark, sf_dir, "events")
-    hosted = ev.select(
-        "event_id",
-        "ts",
-        (F.col("user_id") % 50).cast("long").alias("hostn"),
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    arrivals = ev.select(
+        "event_id", "ts", (F.col("user_id") % 50).cast("long").alias("hostn")
     )
-    # prior pending count per host: a deterministic stand-in for the
-    # incrementally maintained hosts.pending_count column
-    wq = Window.partitionBy("hostn").orderBy("ts", "event_id")
-    return hosted.select(
+    # hosts.pending_count analog: prior pending rows per host
+    prior = orders.groupBy(
+        (F.col("o_custkey") % 50).cast("long").alias("hostn")
+    ).agg(
+        F.sum(F.when(F.col("o_orderkey") % 31 < 2, 1).otherwise(0))
+        .cast("long")
+        .alias("pending_count")
+    )
+    # this tick's admitted departures per host (driver.py: dec)
+    dep = (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_partkey") % 41 == 0))
+        .groupBy((F.col("l_orderkey") % 50).cast("long").alias("hostn"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__dec"))
+    )
+    # count-after-departures (driver.py: __mid = pending_count − __dec)
+    cnt = prior.join(F.broadcast(dep), "hostn", "left").select(
         "hostn",
-        "event_id",
-        "ts",
-        F.row_number().over(wq).cast("int").alias("qpos"),
         (
-            F.row_number().over(wq) + (F.col("hostn") % 7) <= F.lit(8)
-        ).alias("admitted"),
+            F.coalesce(F.col("pending_count"), F.lit(0))
+            - F.coalesce(F.col("__dec"), F.lit(0))
+        ).alias("mid"),
+    )
+    wq = Window.partitionBy("hostn").orderBy("ts", "event_id")
+    cap = 8
+    return (
+        arrivals.join(F.broadcast(cnt), "hostn", "left")
+        .withColumn("qpos", F.row_number().over(wq).cast("int"))
+        .select(
+            "hostn",
+            "event_id",
+            "ts",
+            "qpos",
+            F.coalesce(F.col("mid"), F.lit(0)).cast("long").alias("mid"),
+            (
+                F.col("qpos") + F.coalesce(F.col("mid"), F.lit(0))
+                <= F.lit(cap)
+            ).alias("admitted"),
+        )
     )
 
 
@@ -1146,15 +1178,32 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY ts, event_id LIMIT 24
         """,
         "politeness_quota": """
-            SELECT (user_id % 50)::BIGINT AS hostn, event_id, ts,
-                   (row_number() OVER (
-                        PARTITION BY user_id % 50
-                        ORDER BY ts, event_id))::INT AS qpos,
-                   (row_number() OVER (
-                        PARTITION BY user_id % 50
-                        ORDER BY ts, event_id)
-                    + ((user_id % 50) % 7)) <= 8 AS admitted
-            FROM events
+            WITH prior AS (
+                SELECT (o_custkey % 50)::BIGINT AS hostn,
+                       sum(CASE WHEN o_orderkey % 31 < 2 THEN 1 ELSE 0
+                           END)::BIGINT AS pending_count
+                FROM orders GROUP BY 1),
+            dep AS (
+                SELECT (l_orderkey % 50)::BIGINT AS hostn,
+                       count(*)::BIGINT AS ndep
+                FROM lineitem
+                WHERE l_linenumber = 1 AND l_partkey % 41 = 0
+                GROUP BY 1),
+            cnt AS (
+                SELECT p.hostn,
+                       coalesce(p.pending_count, 0) - coalesce(d.ndep, 0)
+                           AS mid
+                FROM prior p LEFT JOIN dep d USING (hostn)),
+            arr AS (
+                SELECT (user_id % 50)::BIGINT AS hostn, event_id, ts,
+                       (row_number() OVER (
+                            PARTITION BY user_id % 50
+                            ORDER BY ts, event_id))::INT AS qpos
+                FROM events)
+            SELECT a.hostn, a.event_id, a.ts, a.qpos,
+                   coalesce(c.mid, 0)::BIGINT AS mid,
+                   (a.qpos + coalesce(c.mid, 0)) <= 8 AS admitted
+            FROM arr a LEFT JOIN cnt c USING (hostn)
         """,
         "watermark_agg": """
             SELECT l_orderkey, count(*)::BIGINT AS n_items,

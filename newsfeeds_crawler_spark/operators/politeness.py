@@ -30,6 +30,45 @@ from pyspark.sql import functions as F
 FIFO_KEY = ["e_epoch", "e_rank", "e_sub"]
 
 
+def _dim_side(dim: DataFrame, dim_join: str, probe: DataFrame | None = None):
+    """Shape the hosts-dimension side of an admission/robots join.
+
+    The hosts dimension is usually dwarfed by the frontier — but at a
+    10^8-host web crawl the dim itself is GBs, and broadcasting it to every
+    executor each tick breaks the epoch (SURVEY.md §2.3 J4's own scale
+    caveat). Modes:
+
+    - ``broadcast``: ship the whole dim (correct while |hosts| fits the
+      driver + executors; the default under ``hosts_broadcast_max``).
+    - ``shuffle``: shuffled-hash join on ``host`` — both sides repartition
+      on the key, nothing is shipped whole. With hosts and frontier_heads
+      both bucketed on ``xxhash64(host)`` (the catalog layout), a real
+      Iceberg/bucketed-table deployment plans this as a storage-partitioned
+      join with zero shuffle; here the hint pins ShuffledHashJoin (no
+      broadcast, no sort-merge sort).
+    - ``semi``: prune the dim to the PROBE side's hosts first (broadcast
+      the probe's distinct hosts — ∝ per-tick activity — as a left-semi
+      filter), then broadcast the pruned dim back. The per-tick shape for
+      tiny-probe × huge-dim joins (enqueue-time robots gate): dim bytes
+      shipped ∝ the tick's active hosts, never |hosts|.
+    """
+    if dim_join == "broadcast":
+        return F.broadcast(dim)
+    if dim_join == "shuffle":
+        return dim.hint("shuffle_hash")
+    if dim_join == "semi":
+        if probe is None:
+            raise ValueError("dim_join='semi' needs the probe side")
+        return F.broadcast(
+            dim.join(
+                F.broadcast(probe.select("host").distinct()),
+                "host",
+                "left_semi",
+            )
+        )
+    raise ValueError(f"bad dim_join {dim_join!r}")
+
+
 def _order_key(pending: DataFrame) -> list:
     """Admission order: (priority, FIFO key) ascending when a priority
     column exists (north_star priority frontier — breadth-depth + recency
@@ -107,6 +146,7 @@ def admit_heads(
     host_state: DataFrame,
     epoch: int,
     workers: int,
+    dim_join: str = "broadcast",
 ) -> DataFrame:
     """Admission over the per-host head-candidate table: ONE row per host,
     so no per-host window is needed at all — the whole politeness gate is
@@ -118,10 +158,19 @@ def admit_heads(
     HttpManager's skip-scan walks from the list HEAD and never re-sorts
     the whole list (HttpManager.scala:76-94). Heads carry full frontier
     rows, so there is no join back to the pending set either.
+
+    ``dim_join``: how the hosts dimension joins in (see :func:`_dim_side`)
+    — ``broadcast`` while |hosts| is broadcast-sized, ``shuffle`` for a
+    10^8-host crawl where heads is itself ∝ |hosts| (shuffled-hash on
+    ``host``; a storage-partitioned join on a bucketed catalog).
     """
     key = _order_key(heads)
     cand = heads.join(
-        F.broadcast(host_state.select("host", "last_access_epoch", "delay_epochs")),
+        _dim_side(
+            host_state.select("host", "last_access_epoch", "delay_epochs"),
+            dim_join,
+            probe=heads,
+        ),
         "host",
         "left",
     ).filter(
@@ -135,12 +184,20 @@ def admit_heads(
     )
 
 
-def robots_split(pending: DataFrame, hosts: DataFrame) -> tuple[DataFrame, DataFrame]:
+def robots_split(
+    pending: DataFrame, hosts: DataFrame, dim_join: str = "broadcast"
+) -> tuple[DataFrame, DataFrame]:
     """Split pending tasks into (allowed, denied) by robots disallow prefixes.
 
     ``hosts.robots_disallow`` is a newline-joined prefix list. The path is
     derived from the canonical URL. New-engine semantics (north_star); no
     reference analog.
+
+    ``dim_join`` (see :func:`_dim_side`): ``broadcast`` for a
+    broadcast-sized hosts dim; ``semi`` for the per-tick enqueue gate at
+    10^8 hosts (prune the dim to the tick's hosts — ∝ activity — before
+    broadcasting); ``shuffle`` for the one-time seed gate at init, where
+    the pending side is itself ∝ |hosts|.
     """
     # path = canonical URL minus "scheme://host" (canonical path starts at '/')
     path = F.expr(
@@ -148,7 +205,9 @@ def robots_split(pending: DataFrame, hosts: DataFrame) -> tuple[DataFrame, DataF
         "length(substring_index(substring_index(url_canon, '://', -1), '/', 1)) + 1)"
     )
     joined = pending.join(
-        F.broadcast(hosts.select("host", "robots_disallow")), "host", "left"
+        _dim_side(hosts.select("host", "robots_disallow"), dim_join, probe=pending),
+        "host",
+        "left",
     ).withColumn("__path", F.when(path == "", F.lit("/")).otherwise(path))
     denied_cond = F.col("robots_disallow").isNotNull() & (
         F.exists(
@@ -168,11 +227,14 @@ def admit(
     workers: int,
     salt_partitions: int = 0,
     starvation_epochs: int = 0,
+    dim_join: str = "broadcast",
 ) -> DataFrame:
     """Admit up to ``workers`` tasks for this epoch, one per admissible host,
     FIFO order. Returns the admitted tasks with ``admit_rank`` (0-based).
 
-    ``host_state``: host, last_access_epoch, delay_epochs (broadcast dim).
+    ``host_state``: host, last_access_epoch, delay_epochs — joined per
+    ``dim_join`` (broadcast by default; ``shuffle`` above
+    ``hosts_broadcast_max``, see :func:`_dim_side`).
     ``salt_partitions`` > 0 pre-ranks with a salted sub-window (hot-host skew).
 
     LATE MATERIALIZATION: the windows rank a narrow projection (host +
@@ -222,7 +284,11 @@ def admit(
         F.col("__rn_host") == 1
     )
     cand = head.join(
-        F.broadcast(host_state.select("host", "last_access_epoch", "delay_epochs")),
+        _dim_side(
+            host_state.select("host", "last_access_epoch", "delay_epochs"),
+            dim_join,
+            probe=head,
+        ),
         "host",
         "left",
     ).filter(

@@ -122,6 +122,19 @@ class CrawlConfig:
     # snapshot. (Reference analog: hostAccessMap is a POINT update,
     # HttpManager.scala:122-124 — it never rewrites the map.)
     hosts_buckets: int = 16
+    # hosts-dimension join strategy (SURVEY.md §2.3 J4's scale caveat):
+    # while |hosts| <= this, the per-tick admission and robots joins
+    # BROADCAST the dim (one small ship, zero shuffle). Above it — a
+    # 10^8-host web crawl, where the dim is GBs — broadcasting it to every
+    # executor each tick breaks the epoch, so the joins switch shape:
+    # admission (heads ⋈ hosts, both ∝ |hosts|) becomes a shuffled-hash
+    # join on host (a storage-partitioned join on a real bucketed catalog
+    # — hosts and frontier_heads are both bucketed on xxhash64(host)), and
+    # the per-tick enqueue robots gate semi-prunes the dim to the tick's
+    # hosts (∝ activity) before broadcasting the pruned rows. |hosts| is
+    # counted ONCE per run (init counts the source; resume reads the count
+    # persisted in the hosts snapshot meta). None = always broadcast.
+    hosts_broadcast_max: int | None = 5_000_000
     # > 0: same for the feeds table, bucketed on xxhash64(feed_canon) —
     # per-epoch write ∝ feeds touched by this tick's outcomes/countdowns,
     # never |feeds|. (Reference analog: UPDATE feed SET last_pub_date is
@@ -156,6 +169,15 @@ class CrawlConfig:
     # is only well-defined when denied rows never occupy the frontier.
     # 0 = off.
     host_pending_cap: int = 0
+    # bucket-sizing rule (measured, tools/heads_ab.py: frontier_buckets
+    # must exceed ~4× the worker budget or the per-tick heads/frontier
+    # maintenance merges touch every bucket and the incremental admission
+    # buys nothing). True: a new engine whose frontier_buckets < 4×workers
+    # in heads mode auto-raises it to the next power of two ≥ 4×workers
+    # (capped at 4096). False: warn instead (the e2e/bench configs pin
+    # their own counts). Existing workdirs are unaffected either way — the
+    # merge layout comes from the table manifest, not the config.
+    auto_size_buckets: bool = False
     # speculative gate pipelining (heads mode): materialize tick t+1's
     # admission gate during tick t's concurrent write window, overlapping
     # the gate job with the big state merges instead of paying it serially
@@ -194,6 +216,35 @@ class CrawlEngine:
     ):
         self.spark = spark
         self.cfg = config or CrawlConfig()
+        # bucket-sizing rule (heads mode): buckets < 4×workers degenerate
+        # the touched-bucket maintenance merges to full rewrites (measured,
+        # tools/heads_ab.py — BENCH/BASELINE.md round-4 table). Auto-raise
+        # when opted in, warn otherwise. Resume layouts are unaffected:
+        # merges take their bucket count from the table manifest.
+        cfg0 = self.cfg
+        if (
+            cfg0.frontier_heads
+            and cfg0.frontier_buckets > 0
+            and cfg0.starvation_epochs == 0
+            and cfg0.frontier_buckets < 4 * cfg0.workers
+        ):
+            if cfg0.auto_size_buckets:
+                import dataclasses
+
+                b = 1
+                while b < min(4 * cfg0.workers, 4096):
+                    b *= 2
+                self.cfg = dataclasses.replace(cfg0, frontier_buckets=b)
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"frontier_buckets={cfg0.frontier_buckets} < 4×workers"
+                    f"={4 * cfg0.workers}: heads-mode maintenance merges "
+                    "will touch every bucket (full rewrites). Raise "
+                    "frontier_buckets or set auto_size_buckets=True.",
+                    stacklevel=2,
+                )
         # Tick-plan session: same SparkContext/executors, AQE disabled.
         # Every per-tick state plan is already hand-shaped — explicit
         # repartition to the bucket count, explicit broadcast hints,
@@ -219,6 +270,10 @@ class CrawlEngine:
         self._hosts_src = hosts
         self._seeds_src = seeds
         self._preseen_src = preseen
+        # True once |hosts| is known to exceed hosts_broadcast_max — set
+        # once per run (init counts the source, resume reads the persisted
+        # count); flips every hosts-dim join off the broadcast path
+        self._big_hosts: bool | None = None if self.cfg.hosts_broadcast_max is not None else False
         if self.cfg.corpus_buckets > 0:
             self.corpus = self._bucketed_corpus(workdir, corpus)
 
@@ -292,8 +347,17 @@ class CrawlEngine:
         # (oracle/refsim.py:162-167 — same final states, denial just fires
         # at enqueue instead of the row's first pending tick).
         heads_mode = self._heads_mode()
+        if self._big_hosts is None:
+            # one count job per workdir lifetime: persisted in the hosts
+            # snapshot meta below, so resume never recounts
+            self._n_hosts = self._hosts_src.count()
+            self._big_hosts = self._n_hosts > cfg.hosts_broadcast_max
         if heads_mode:
-            a0, d0 = robots_split(f0, hosts0)
+            # seed gate: the pending side is ∝ |seeds| (itself huge at
+            # scale), so big-hosts mode joins shuffled-hash — one-time cost
+            a0, d0 = robots_split(
+                f0, hosts0, dim_join="shuffle" if self._big_hosts else "broadcast"
+            )
             tagged0 = (
                 a0.withColumn("__gate", F.lit("a"))
                 .unionByName(d0.withColumn("__gate", F.lit("d")))
@@ -386,13 +450,16 @@ class CrawlEngine:
             .drop("__pc")
             .select(*[f.name for f in S.HOSTS_SCHEMA.fields])
         )
+        hmeta = (
+            {"n_hosts": self._n_hosts} if getattr(self, "_n_hosts", None) is not None else {}
+        )
         if cfg.hosts_buckets > 0:
             hosts_v = self.cat.write_bucketed(
                 "hosts", hosts0, key="xxhash64(host)",
-                num_buckets=cfg.hosts_buckets,
+                num_buckets=cfg.hosts_buckets, meta=hmeta,
             )
         else:
-            hosts_v = self.cat.write("hosts", hosts0)
+            hosts_v = self.cat.write("hosts", hosts0, meta=hmeta)
         if cfg.feeds_buckets > 0:
             feeds_v = self.cat.write_bucketed(
                 "feeds", feeds0, key="xxhash64(feed_canon)",
@@ -422,8 +489,23 @@ class CrawlEngine:
         }
         if heads_v is not None:
             versions["frontier_heads"] = heads_v
-        cat.commit_epoch(0, versions, meta={"event": "init"})
+        cat.commit_epoch(
+            0, versions,
+            meta={"event": "init", "host_pending_cap": cfg.host_pending_cap},
+        )
         return versions
+
+    def _read_hosts(self, v: dict[str, int], buckets: set[int] | None = None) -> DataFrame:
+        """Read the hosts table at the epoch-pinned version, backfilling the
+        ``pending_count`` column for workdirs written before it existed
+        (HOSTS_SCHEMA gained it in quota mode; every update path selects it
+        from the stored table). Backfill is 0 — the carried-as-is value a
+        pre-quota run would have started from; enabling the quota on such a
+        workdir triggers the one-time recount in :meth:`run` regardless."""
+        df = self.cat.read("hosts", v["hosts"], buckets=buckets)
+        if "pending_count" not in df.columns:
+            df = df.withColumn("pending_count", F.lit(0).cast("long"))
+        return df
 
     def _heads_mode(self) -> bool:
         """True when new runs should maintain the incremental per-host
@@ -602,7 +684,7 @@ class CrawlEngine:
 
         frontier = cat.read("frontier", v["frontier"])
         pending = frontier.filter(F.col("state") == "pending")
-        hosts = cat.read("hosts", v["hosts"])
+        hosts = self._read_hosts(v)
         # incremental admission: with a heads table committed, the
         # politeness gate reads ONE row per host-with-pending-work instead
         # of scanning the whole pending frontier; robots moved to enqueue
@@ -632,15 +714,19 @@ class CrawlEngine:
         if heads_on and spec is not None and spec[0] == spec_key:
             gate, gstats = spec[1], spec[2]
         else:
+            dim_join = "shuffle" if self._big_hosts else "broadcast"
             if heads_on:
                 heads = cat.read("frontier_heads", v["frontier_heads"])
-                adm0 = admit_heads(heads, hosts, tick, cfg.workers)
+                adm0 = admit_heads(
+                    heads, hosts, tick, cfg.workers, dim_join=dim_join
+                )
                 denied0 = self.tick_spark.createDataFrame([], S.FRONTIER_SCHEMA)
             else:
-                allowed, denied0 = robots_split(pending, hosts)
+                allowed, denied0 = robots_split(pending, hosts, dim_join=dim_join)
                 adm0 = admit(
                     allowed, hosts, tick, cfg.workers, cfg.salt_partitions,
                     starvation_epochs=cfg.starvation_epochs,
+                    dim_join=dim_join,
                 )
             gate, gstats = self._gate_and_stats(adm0, denied0)
         admitted = gate.filter(F.col("__gate") == "a").drop("__gate")
@@ -832,7 +918,15 @@ class CrawlEngine:
         # set, feed states, and stall totals as the oracle's
         # admission-time gate — denial is a static per-row property.
         if heads_on:
-            an0, dn0 = robots_split(new_tasks, hosts)
+            # per-tick enqueue gate: the probe side is ∝ this tick's
+            # enqueues, so big-hosts mode semi-prunes the dim to those
+            # hosts before broadcasting (dim bytes ∝ activity, never
+            # |hosts|; the dim scan itself is a map-only column-pruned
+            # parquet read of (host, robots_disallow))
+            an0, dn0 = robots_split(
+                new_tasks, hosts,
+                dim_join="semi" if self._big_hosts else "broadcast",
+            )
         else:
             an0 = new_tasks
             dn0 = self.tick_spark.createDataFrame([], S.FRONTIER_SCHEMA)
@@ -890,7 +984,7 @@ class CrawlEngine:
         allowed_new = rsplit.filter(F.col("__g") == "a").drop("__g")
         denied_new = rsplit.filter(F.col("__g") == "d").drop("__g")
         quota_denied = rsplit.filter(F.col("__g") == "q").drop("__g")
-        new_tasks = rsplit.drop("__g")  # allowed ∪ denied == the full set
+        new_tasks = rsplit.drop("__g")  # allowed ∪ robots-denied ∪ quota-denied == the full set
 
         # ---- article branch: upsert rows (decode already materialized) ---
         # same no-store-shuffle shape as the probe: prune the store scan to
@@ -1019,24 +1113,29 @@ class CrawlEngine:
             .unionByName(allowed_new)
         )
 
-        # ONE collect shared by the frontier merge and the heads
-        # maintenance below: the hosts whose frontier rows change this tick
-        # (admitted-away ∪ newly enqueued ∪ denied-away) with their bucket
-        # ids. The frontier merge's touched set and the heads recompute set
-        # both derive from it, so neither write re-collects. It also
-        # materializes the rsplit checkpoint serially (deterministic job
-        # count in the concurrent write pool).
-        th: list = []
+        # ONE job shared by the frontier merge and the heads maintenance
+        # below: the hosts whose frontier rows change this tick
+        # (admitted-away ∪ newly enqueued ∪ denied-away) stay DISTRIBUTED —
+        # a lazily-checkpointed frame the downstream merges broadcast-join
+        # against — and only their distinct BUCKET ids come back to the
+        # driver (bounded by the bucket counts, never per-tick activity: at
+        # 10^6 admissions/epoch the old per-host collect shipped ~10^6
+        # strings through the driver twice per tick). The bucket collect
+        # triggers the checkpoint, so it also materializes rsplit serially
+        # (deterministic job count in the concurrent write pool).
+        th_hosts_df: DataFrame | None = None
         touched_fr: set[int] | None = None
         tb_hosts_u = tb_hosts
         if cfg.frontier_buckets > 0:
-            th = (
+            th_hosts_df = (
                 admitted.select("host")
                 .unionByName(allowed_new.select("host"))
                 .unionByName(denied.select("host"))
                 .distinct()
-                .select(
-                    "host",
+                .localCheckpoint(eager=False)
+            )
+            tb = (
+                th_hosts_df.select(
                     F.pmod(F.xxhash64("host"), F.lit(cfg.frontier_buckets))
                     .cast("int")
                     .alias("__b"),
@@ -1046,12 +1145,13 @@ class CrawlEngine:
                     .cast("int")
                     .alias("__hb"),
                 )
+                .distinct()
                 .collect()
             )
-            touched_fr = {r["__b"] for r in th}
+            touched_fr = {r["__b"] for r in tb}
             if cfg.host_pending_cap > 0 and cfg.hosts_buckets > 0:
                 # quota mode touches the enqueued hosts' count rows too
-                tb_hosts_u = tb_hosts | {r["__hb"] for r in th}
+                tb_hosts_u = tb_hosts | {r["__hb"] for r in tb}
 
         # ---- hosts politeness state (A4) ---------------------------------
         # only the admitted hosts change last_access_epoch this tick; the
@@ -1073,12 +1173,9 @@ class CrawlEngine:
                 + F.coalesce(F.col("__inc"), F.lit(0))
             ).alias("pending_count")
             if cfg.hosts_buckets > 0:
-                th_hosts = self.tick_spark.createDataFrame(
-                    [(r["host"],) for r in th], "host string"
-                )
                 hosts_upd = (
-                    cat.read("hosts", v["hosts"], buckets=tb_hosts_u)
-                    .join(F.broadcast(th_hosts), "host", "inner")
+                    self._read_hosts(v, buckets=tb_hosts_u)
+                    .join(F.broadcast(th_hosts_df), "host", "inner")
                     .join(
                         F.broadcast(
                             admitted_hosts.withColumn(
@@ -1117,7 +1214,7 @@ class CrawlEngine:
                 )
         elif cfg.hosts_buckets > 0:
             hosts_upd = (
-                cat.read("hosts", v["hosts"], buckets=tb_hosts)
+                self._read_hosts(v, buckets=tb_hosts)
                 .join(F.broadcast(admitted_hosts), "host", "inner")
                 .withColumn("last_access_epoch", F.lit(tick).cast("int"))
                 .select(*[f.name for f in S.HOSTS_SCHEMA.fields])
@@ -1455,14 +1552,13 @@ class CrawlEngine:
             # rows and merge just their buckets. Read I/O ∝ touched
             # buckets + this tick's frames, NEVER O(|pending|); every
             # other host's head row carries over untouched. The host set
-            # is the shared th collect (gate denials are empty in heads
-            # mode, so th is exactly admitted ∪ allowed_new hosts).
-            if not th:
+            # is the shared th_hosts_df checkpoint (gate denials are empty
+            # in heads mode, so it is exactly admitted ∪ allowed_new
+            # hosts) — a distributed frame, never a driver collect.
+            if not touched_fr:
                 return v["frontier_heads"]
             touched_hb = touched_fr
-            th_df = self.tick_spark.createDataFrame(
-                [(r["host"],) for r in th], "host string"
-            )
+            th_df = th_hosts_df
             live = (
                 cat.read("frontier", v["frontier"], buckets=touched_hb)
                 .filter(F.col("state") == "pending")
@@ -1528,13 +1624,25 @@ class CrawlEngine:
                         ov = futs["hosts"].result()
                         heads_n = cat.read("frontier_heads", hv)
                         hosts_n = cat.read("hosts", ov)
-                        adm = admit_heads(heads_n, hosts_n, tick + 1, cfg.workers)
+                        adm = admit_heads(
+                            heads_n, hosts_n, tick + 1, cfg.workers,
+                            dim_join="shuffle" if self._big_hosts else "broadcast",
+                        )
                         den = self.tick_spark.createDataFrame(
                             [], S.FRONTIER_SCHEMA
                         )
                         g, gs = self._gate_and_stats(adm, den)
                         return ((tick + 1, hv, ov), g, gs)
-                    except Exception:
+                    except Exception as e:
+                        # degrade to per-tick recompute, but LOUDLY: a
+                        # persistent bug here would otherwise silently cost
+                        # the pipelining win every tick
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "speculative gate for tick %d failed "
+                            "(next tick recomputes): %s", tick + 1, e
+                        )
                         return None
 
                 spec_fut = pool.submit(w_spec)
@@ -1712,21 +1820,19 @@ class CrawlEngine:
         if "frontier_heads" in v:
             # the stalled rows' hosts may have lost their head — recompute
             # top-1 for exactly those hosts from the post-delete frontier
-            th = (
-                stuck.select("host")
-                .distinct()
-                .select(
-                    "host",
+            # same shape as the tick's th_hosts_df: hosts stay distributed,
+            # only bucket ids reach the driver
+            th_df = stuck.select("host").distinct().localCheckpoint(eager=False)
+            touched_hb = {
+                r["__b"]
+                for r in th_df.select(
                     F.pmod(F.xxhash64("host"), F.lit(cfg.frontier_buckets))
                     .cast("int")
-                    .alias("__b"),
+                    .alias("__b")
                 )
+                .distinct()
                 .collect()
-            )
-            touched_hb = {r["__b"] for r in th}
-            th_df = self.tick_spark.createDataFrame(
-                [(r["host"],) for r in th], "host string"
-            )
+            }
             live = (
                 cat.read("frontier", nv["frontier"], buckets=touched_hb)
                 .filter(F.col("state") == "pending")
@@ -1791,23 +1897,21 @@ class CrawlEngine:
                 - F.coalesce(F.col("__sdec"), F.lit(0))
             )
             if cfg.hosts_buckets > 0:
-                hb = (
-                    stuck.select("host")
-                    .distinct()
-                    .select(
-                        "host",
+                h_df = stuck.select("host").distinct().localCheckpoint(
+                    eager=False
+                )
+                tb_h = {
+                    r["__hb"]
+                    for r in h_df.select(
                         F.pmod(F.xxhash64("host"), F.lit(cfg.hosts_buckets))
                         .cast("int")
-                        .alias("__hb"),
+                        .alias("__hb")
                     )
+                    .distinct()
                     .collect()
-                )
-                tb_h = {r["__hb"] for r in hb}
-                h_df = self.tick_spark.createDataFrame(
-                    [(r["host"],) for r in hb], "host string"
-                )
+                }
                 hosts_upd = (
-                    cat.read("hosts", v["hosts"], buckets=tb_h)
+                    self._read_hosts(v, buckets=tb_h)
                     .join(F.broadcast(h_df), "host", "inner")
                     .join(F.broadcast(sdec), "host", "left")
                     .withColumn("pending_count", new_pc)
@@ -1819,7 +1923,7 @@ class CrawlEngine:
                 )
             else:
                 hosts_upd = (
-                    cat.read("hosts", v["hosts"])
+                    self._read_hosts(v)
                     .join(F.broadcast(sdec), "host", "left")
                     .withColumn("pending_count", new_pc)
                     .select(*hfields)
@@ -1847,6 +1951,14 @@ class CrawlEngine:
             last = 0
         else:
             versions = cat.epoch_tables(last)
+            if self._big_hosts is None:
+                # hosts-dim join mode: the count persisted at init rides the
+                # snapshot meta through every merge; a pre-count workdir
+                # counts once per run (never per tick)
+                n = cat.meta("hosts", versions["hosts"]).get("n_hosts")
+                if n is None:
+                    n = cat.read("hosts", versions["hosts"]).count()
+                self._big_hosts = n > cfg.hosts_broadcast_max
             if "frontier_heads" in versions and not self._heads_mode():
                 # resumed under a config the heads invariant can't hold
                 # (starvation guard on, or heads disabled): drop the table
@@ -1857,6 +1969,46 @@ class CrawlEngine:
         # per-bucket pending counts: resume from the epoch manifest meta;
         # a workdir from before the counts existed recomputes them ONCE
         emeta = cat.epoch_meta(last)
+        if cfg.host_pending_cap > 0 and int(emeta.get("host_pending_cap", 0) or 0) == 0:
+            # the quota knob flipped ON over a workdir whose earlier ticks
+            # ran with it off (or a pre-quota layout): the stored per-host
+            # pending counts were carried, not maintained, so quota
+            # decisions would silently use stale numbers. Recount ONCE from
+            # the pending frontier (the only scan the quota ever does) and
+            # snapshot the corrected hosts table before the first tick.
+            fcounts = (
+                cat.read("frontier", versions["frontier"])
+                .filter(F.col("state") == "pending")
+                .groupBy("host")
+                .agg(F.count(F.lit(1)).cast("long").alias("__pc"))
+            )
+            hosts_re = (
+                self._read_hosts(versions)
+                .drop("pending_count")
+                .join(fcounts, "host", "left")
+                .withColumn(
+                    "pending_count",
+                    F.coalesce(F.col("__pc"), F.lit(0).cast("long")),
+                )
+                .drop("__pc")
+                .select(*[f.name for f in S.HOSTS_SCHEMA.fields])
+            )
+            hman = cat.meta("hosts", versions["hosts"])
+            versions = dict(versions)
+            if hman.get("num_buckets"):
+                versions["hosts"] = cat.write_bucketed(
+                    "hosts", hosts_re, key=hman["bucketed_key"],
+                    num_buckets=hman["num_buckets"],
+                    meta={k: hman[k] for k in ("n_hosts",) if k in hman},
+                )
+            else:
+                versions["hosts"] = cat.write(
+                    "hosts", hosts_re,
+                    meta={k: hman[k] for k in ("n_hosts",) if k in hman},
+                )
+            emeta = dict(emeta)
+            emeta["host_pending_cap"] = cfg.host_pending_cap
+            cat.commit_epoch(last, versions, meta=emeta)
         if "pending_counts" in emeta:
             counts = {int(b): n for b, n in emeta["pending_counts"].items()}
         else:
@@ -1901,6 +2053,7 @@ class CrawlEngine:
                         versions,
                         meta={
                             "event": "feed_stall",
+                            "host_pending_cap": cfg.host_pending_cap,
                             "pending_counts": {
                                 str(b): n for b, n in counts.items()
                             },
@@ -1911,6 +2064,7 @@ class CrawlEngine:
             versions, meta, counts = result
             meta = dict(meta)
             meta["pending_counts"] = {str(b): n for b, n in counts.items()}
+            meta["host_pending_cap"] = cfg.host_pending_cap
             cat.commit_epoch(tick + 1, versions, meta=meta)
             if progress:
                 print(f"[crawl] {meta}")
@@ -1922,7 +2076,8 @@ class CrawlEngine:
             if cfg.stall_timeout_epochs and stalled_for >= cfg.stall_timeout_epochs:
                 versions = self._quarantine_stalled(tick + 1, versions)
                 cat.commit_epoch(
-                    tick + 2, versions, meta={"event": "stall_timeout"}
+                    tick + 2, versions, meta={"event": "stall_timeout",
+                          "host_pending_cap": cfg.host_pending_cap}
                 )
                 tick += 2
                 break
@@ -1945,7 +2100,8 @@ class CrawlEngine:
                         ),
                         mode="overwrite",
                     )
-                cat.commit_epoch(tick + 1, versions, meta={"event": "compact_log"})
+                cat.commit_epoch(tick + 1, versions, meta={"event": "compact_log",
+                          "host_pending_cap": cfg.host_pending_cap})
             if (
                 cfg.compact_articles_every
                 and (tick + 1) % cfg.compact_articles_every == 0
@@ -1963,7 +2119,8 @@ class CrawlEngine:
                 if v_new is not None:
                     versions = dict(versions)
                     versions["articles"] = v_new
-                    cat.commit_epoch(tick + 1, versions, meta={"event": "compact"})
+                    cat.commit_epoch(tick + 1, versions, meta={"event": "compact",
+                          "host_pending_cap": cfg.host_pending_cap})
             tick += 1
         return {"epochs": tick, "versions": versions}
 

@@ -1009,3 +1009,151 @@ def test_caption_consistency_report_flags_planted_mismatches(spark, tmp_path):
             assert score == 0.0, u      # complement phash: every band wrong
         elif corpus.pages[u].caption and " img" in corpus.pages[u].caption:
             assert score == 1.0, u      # consistent tags: every band right
+
+
+def test_big_hosts_mode_exact_and_no_dim_broadcast(spark, tmp_path):
+    """Big-hosts mode (hosts_broadcast_max exceeded): every hosts-dimension
+    join leaves the broadcast path — admission goes shuffled-hash on host,
+    the per-tick robots gate semi-prunes the dim to the tick's hosts — and
+    the crawl must stay EXACTLY oracle-equal through a mid-run kill/resume.
+    The one structure SURVEY §2.3 J4 flags as breaking at 10^8 hosts."""
+    corpus = synthesize(CorpusSpec(n_feeds=6, items_per_feed=6, n_hosts=5))
+    oracle = simulate(corpus)
+    wd = str(tmp_path / "bigh")
+    eng = _mk_engine(spark, corpus, wd, hosts_broadcast_max=0, max_epochs=3)
+    eng.run()
+    assert eng._big_hosts is True
+    resumed = _mk_engine(spark, corpus, wd, hosts_broadcast_max=0)
+    resumed.run()
+    assert resumed._big_hosts is True  # resume read the persisted count
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in resumed.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order
+    got_seen = {
+        r["url_canon"]: r["pub_ts"] for r in resumed.articles_final().collect()
+    }
+    assert got_seen == oracle.seen
+    rows = {
+        r["url_canon"]: r["caption"]
+        for r in resumed.articles_final().filter(
+            F.col("action") != "preseen"
+        ).collect()
+    }
+    for u, o in oracle.articles.items():
+        assert rows[u] == o["caption"], u
+
+
+@pytest.mark.parametrize("spec_gate", [True, False])
+def test_speculative_gate_on_off_equivalence(spark, tmp_path, spec_gate):
+    """speculative_gate is purely an execution-order optimization: a full
+    crawl WITH a mid-run per-feed stall sweep (which bumps the heads/hosts
+    versions between ticks ⇒ speculation key MISSES and the gate recomputes)
+    must be bit-identical with the flag on and off — crawl order, seen set,
+    articles, feed states, and metric totals all oracle-exact either way."""
+    corpus = synthesize(CorpusSpec(n_feeds=5, items_per_feed=6, n_hosts=4))
+    blocked = sorted(corpus.hosts)[1]
+    corpus.hosts[blocked]["crawl_delay_ms"] = 10**9
+    N = 4
+    oracle = simulate(corpus, feed_stall_epochs=N)
+    assert any(t.state == "stalled" for t in oracle.tasks)  # sweep fires
+
+    eng = _mk_engine(
+        spark, corpus, str(tmp_path / f"spec{int(spec_gate)}"),
+        speculative_gate=spec_gate, feed_stall_epochs=N,
+        stall_timeout_epochs=0, max_epochs=300,
+    )
+    eng.run()
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in eng.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order
+    got_seen = {r["url_canon"]: r["pub_ts"] for r in eng.articles_final().collect()}
+    assert got_seen == oracle.seen
+    got_feeds = {
+        r["feed_canon"]: (r["state"], r["last_pub_ts"])
+        for r in eng.feeds_final().collect()
+    }
+    want_feeds = {
+        fc: (f["state"], f["last_pub_ts"]) for fc, f in oracle.feeds.items()
+    }
+    assert got_feeds == want_feeds
+    fetched = eng.metrics_df().agg(F.sum("urls_fetched")).collect()[0][0]
+    assert fetched == len(oracle.crawl_order)
+
+
+def test_hosts_pending_count_backfilled_for_old_layout(spark, tmp_path):
+    """A workdir written before HOSTS_SCHEMA gained pending_count must
+    still resume: the read boundary backfills the column instead of
+    failing with a missing-column error."""
+    corpus = synthesize(CorpusSpec(n_feeds=5, items_per_feed=6, n_hosts=4))
+    oracle = simulate(corpus)
+    wd = str(tmp_path / "oldlay")
+    eng = _mk_engine(spark, corpus, wd, max_epochs=2)
+    eng.run()
+    # simulate the pre-quota layout: rewrite the hosts snapshot WITHOUT the
+    # pending_count column and pin it in the epoch manifest
+    cat = eng.cat
+    last = cat.last_epoch()
+    versions = dict(cat.epoch_tables(last))
+    hosts_old = cat.read("hosts", versions["hosts"]).drop("pending_count")
+    hman = cat.meta("hosts", versions["hosts"])
+    versions["hosts"] = cat.write_bucketed(
+        "hosts", hosts_old.localCheckpoint(eager=True),
+        key=hman["bucketed_key"], num_buckets=hman["num_buckets"],
+    )
+    cat.commit_epoch(last, versions, meta=cat.epoch_meta(last))
+
+    resumed = _mk_engine(spark, corpus, wd)
+    resumed.run()
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in resumed.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order
+    got_seen = {
+        r["url_canon"]: r["pub_ts"] for r in resumed.articles_final().collect()
+    }
+    assert got_seen == oracle.seen
+
+
+def test_quota_enabled_on_resume_recounts_exactly(spark, tmp_path):
+    """Flipping host_pending_cap ON over a workdir whose earlier run had it
+    OFF must not use stale counts: the resume recounts pending rows per
+    host ONCE from the frontier. Flipping at the init boundary makes the
+    whole crawl quota-gated from tick 0, so the recounted run must equal
+    the quota oracle EXACTLY."""
+    corpus = synthesize(CorpusSpec(n_feeds=6, items_per_feed=6, n_hosts=5))
+    cap = 3
+    oracle = simulate(corpus, host_pending_cap=cap)
+    assert sum(1 for t in oracle.tasks if t.state == "quota_denied") > 0
+
+    wd = str(tmp_path / "qflip")
+    # first run: quota OFF, init only (max_epochs=0 commits epoch 0 and
+    # stops before any tick)
+    eng = _mk_engine(spark, corpus, wd, host_pending_cap=0, max_epochs=0)
+    eng.run()
+    assert eng.cat.last_epoch() == 0
+
+    resumed = _mk_engine(spark, corpus, wd, host_pending_cap=cap)
+    resumed.run()
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in resumed.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order
+    got_seen = {
+        r["url_canon"]: r["pub_ts"] for r in resumed.articles_final().collect()
+    }
+    assert got_seen == oracle.seen
+    denied = {
+        r["url_canon"]
+        for r in resumed.frontier_all()
+        .filter(F.col("state") == "quota_denied")
+        .collect()
+    }
+    assert denied == {
+        t.url_canon for t in oracle.tasks if t.state == "quota_denied"
+    }

@@ -92,3 +92,39 @@ def test_steady_tick_job_count_buckets_off(spark):
         f"steady tick launched {n} jobs with bucketing off "
         f"(reference ~36): a fixed-cost fusion regressed"
     )
+
+
+def test_bucket_sizing_rule_warns_and_auto_sizes():
+    """The measured heads-A/B rule (frontier_buckets >= 4×workers or the
+    maintenance merges degenerate to full rewrites) is engine behavior:
+    undersized configs warn by default and auto-raise to the next power of
+    two under auto_size_buckets. The sizing check runs before any Spark
+    machinery, so a None session suffices."""
+    import warnings
+
+    from newsfeeds_crawler_spark.plans.driver import CrawlEngine
+
+    def _init(cfg):
+        eng = CrawlEngine.__new__(CrawlEngine)
+        try:
+            CrawlEngine.__init__(eng, None, None, None, None, None, None, cfg)
+        except AttributeError:
+            pass  # the None spark session fails past the sizing check
+        return eng
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _init(CrawlConfig(workers=16, frontier_buckets=16))
+    assert any("4×workers" in str(x.message) for x in w)
+
+    eng = _init(
+        CrawlConfig(workers=16, frontier_buckets=16, auto_size_buckets=True)
+    )
+    assert eng.cfg.frontier_buckets == 64
+
+    # well-sized configs are untouched and silent
+    with warnings.catch_warnings(record=True) as w3:
+        warnings.simplefilter("always")
+        eng3 = _init(CrawlConfig(workers=3, frontier_buckets=16))
+    assert not [x for x in w3 if "4×workers" in str(x.message)]
+    assert eng3.cfg.frontier_buckets == 16

@@ -258,3 +258,68 @@ def test_catalog_bucket_pruned_read(spark, tmp_path):
     assert got == {i for i in range(1_000) if i % 16 in (3, 7)}
     full = cat.read("seen")
     assert full.count() == 1_000
+
+
+def _mini_hosts(spark):
+    return spark.createDataFrame(
+        [("h1", None, 1, None)],
+        "host string, last_access_epoch int, delay_epochs int, "
+        "robots_disallow string",
+    )
+
+
+def _mini_heads(spark):
+    return spark.createDataFrame(
+        [("h1", "http://h1/a", 0, 0, 0)],
+        ["host", "url_canon", "e_epoch", "e_rank", "e_sub"],
+    )
+
+
+def test_admit_heads_shuffle_mode_never_broadcasts_dim(spark):
+    """Big-hosts mode (J4 scale edge): the admissibility join must plan as
+    a shuffled-hash join on host — NO BroadcastExchange anywhere in the
+    gate. At 10^8 hosts a per-tick broadcast of the dim breaks the epoch;
+    on a bucketed catalog this join is storage-partitioned (zero shuffle)."""
+    from newsfeeds_crawler_spark.operators.politeness import admit_heads
+
+    plan = sparkplan(
+        admit_heads(_mini_heads(spark), _mini_hosts(spark), 0, 10,
+                    dim_join="shuffle")
+    )
+    assert "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_admit_shuffle_mode_dim_join_not_broadcast(spark):
+    """Legacy full-frontier admission in big-hosts mode: the hosts-dim join
+    is shuffled-hash; the only remaining broadcast is the ≤workers-row
+    winners join-back (which is small by construction)."""
+    pending = spark.createDataFrame(
+        [("h1", "http://h1/a", 0, 0, 0)],
+        ["host", "url_canon", "e_epoch", "e_rank", "e_sub"],
+    )
+    plan = sparkplan(
+        admit(pending, _mini_hosts(spark), 0, 10, dim_join="shuffle")
+    )
+    assert "ShuffledHashJoin" in plan
+    # the winners join-back broadcast is allowed; the dim must not be:
+    # every BroadcastExchange input must carry the winners' admit_rank,
+    # never the dim's delay_epochs
+    for frag in plan.split("BroadcastExchange")[1:]:
+        assert "delay_epochs" not in frag.split("Scan")[0][:400]
+
+
+def test_robots_split_semi_mode_prunes_dim_before_broadcast(spark):
+    """Per-tick enqueue robots gate in big-hosts mode: the dim is pruned to
+    the probe's hosts by a LeftSemi join BEFORE being broadcast — dim bytes
+    shipped ∝ the tick's activity, never |hosts|."""
+    from newsfeeds_crawler_spark.operators.politeness import robots_split
+
+    pending = spark.createDataFrame(
+        [("h1", "http://h1/a", 0, 0, 0)],
+        ["host", "url_canon", "e_epoch", "e_rank", "e_sub"],
+    )
+    allowed, denied = robots_split(pending, _mini_hosts(spark), dim_join="semi")
+    plan = sparkplan(allowed)
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
