@@ -1430,7 +1430,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_tfidf_topk": """
             WITH tf AS (
-                SELECT doc_id AS id, term, count(*)::BIGINT AS tf
+                SELECT doc_id AS id, term,
+                       least(count(*), 10000)::BIGINT AS tf
                 FROM (SELECT doc_id,
                              unnest(string_split_regex(lower(trim(text)),
                                                        '\\s+')) AS term

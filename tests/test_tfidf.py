@@ -77,3 +77,62 @@ def test_disjoint_doc_gets_no_matches(result):
     # doc 5 shares no term with any other doc -> inverted-index join
     # yields nothing for it (never a cross join producing zero scores)
     assert not [r for r in result if r[0] == 5]
+
+
+def test_shuffle_path_equals_broadcast_path_and_plan(spark):
+    """Vocab/query sets past broadcast size: pinning idf_join='shuffle' and
+    broadcast_queries=False must produce bit-identical results to the
+    broadcast path — and the pinned plan must contain shuffled-hash joins
+    with NO BroadcastExchange anywhere (the OOM shape at a 100 TB corpus
+    where queries are a fixed corpus fraction)."""
+    # a synthetic large-vocab corpus: every doc contributes unique terms
+    # plus a shared core so the inverted index has real candidate pairs
+    rows = [
+        (i, f"core{i % 7} shared spark u{i}a u{i}b u{i}c u{(i * 13) % 200}x")
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = docs.filter("doc_id % 9 = 0")
+
+    base = tfidf_topk(docs, qs, k=5)
+    pinned = tfidf_topk(
+        docs, qs, k=5, broadcast_queries=False, idf_join="shuffle"
+    )
+    # sparkPlan is pre-EnsureRequirements (exchange nodes not yet
+    # inserted), so pin the JOIN nodes: all shuffled-hash, zero broadcast
+    plan = pinned._jdf.queryExecution().sparkPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, pinned.collect())
+    )
+
+
+def test_auto_query_broadcast_threshold(spark):
+    """broadcast_queries=None sizes the query set: below the threshold the
+    plan broadcasts, above it the scoring join is shuffle-hash."""
+    rows = [(i, f"alpha beta w{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = docs.filter("doc_id < 20")
+    small = tfidf_topk(docs, qs, k=3, max_broadcast_queries=30)
+    assert "BroadcastHashJoin" in small._jdf.queryExecution().sparkPlan().toString()
+    big = tfidf_topk(docs, qs, k=3, max_broadcast_queries=10)
+    p2 = big._jdf.queryExecution().sparkPlan().toString()
+    assert "ShuffledHashJoin" in p2
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+
+
+def test_tf_clamp_keeps_degenerate_doc_inside_int64(spark):
+    """A degenerate repeated-token document (tf ≈ 10⁶) must not abort with
+    an ANSI int64 overflow: tf clamps at TF_CLAMP on both engines."""
+    from newsfeeds_crawler_spark.operators.tfidf import TF_CLAMP, doc_terms
+
+    big_doc = "word " * 50_000
+    docs = spark.createDataFrame(
+        [(0, big_doc), (1, "word other text"), (2, "unrelated stuff")],
+        "doc_id long, text string",
+    )
+    dt = {(r["__id"], r["term"]): r["tf"] for r in doc_terms(docs).collect()}
+    assert dt[(0, "word")] == TF_CLAMP
+    out = tfidf_topk(docs, docs.filter("doc_id = 1"), k=2).collect()
+    assert [r["match_id"] for r in out][0] == 0  # the clamped doc still tops
