@@ -375,6 +375,65 @@ def q_politeness_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_politeness_depth_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host budgets by DEPTH CLASS (plans/driver.py host_seed_cap =
+    depth 0, host_pending_cap = depth 1): each class's pending rows are
+    capped independently per host — the same count-after-departures rule
+    as politeness_quota, windowed per (host, depth) with a per-depth cap.
+    One departures aggregate + one broadcast count join + one window; no
+    frontier scan."""
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    arrivals = ev.select(
+        "event_id",
+        "ts",
+        (F.col("user_id") % 50).cast("long").alias("hostn"),
+        (F.col("event_id") % 2).cast("int").alias("depth"),
+    )
+    prior = orders.groupBy(
+        (F.col("o_custkey") % 50).cast("long").alias("hostn"),
+        (F.col("o_orderkey") % 2).cast("int").alias("depth"),
+    ).agg(
+        F.sum(F.when(F.col("o_orderkey") % 37 < 2, 1).otherwise(0))
+        .cast("long")
+        .alias("pending_count")
+    )
+    dep = (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_partkey") % 41 == 0))
+        .groupBy(
+            (F.col("l_orderkey") % 50).cast("long").alias("hostn"),
+            (F.col("l_suppkey") % 2).cast("int").alias("depth"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__dec"))
+    )
+    cnt = prior.join(F.broadcast(dep), ["hostn", "depth"], "left").select(
+        "hostn",
+        "depth",
+        (
+            F.coalesce(F.col("pending_count"), F.lit(0))
+            - F.coalesce(F.col("__dec"), F.lit(0))
+        ).alias("mid"),
+    )
+    wq = Window.partitionBy("hostn", "depth").orderBy("ts", "event_id")
+    cap = F.when(F.col("depth") == 0, F.lit(3)).otherwise(F.lit(9))
+    return (
+        arrivals.join(F.broadcast(cnt), ["hostn", "depth"], "left")
+        .withColumn("qpos", F.row_number().over(wq).cast("int"))
+        .select(
+            "hostn",
+            "depth",
+            "event_id",
+            "ts",
+            "qpos",
+            F.coalesce(F.col("mid"), F.lit(0)).cast("long").alias("mid"),
+            (F.col("qpos") + F.coalesce(F.col("mid"), F.lit(0)) <= cap).alias(
+                "admitted"
+            ),
+        )
+    )
+
+
 def q_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+A2/S7 — per-feed completion count + watermark aggregate."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1015,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_fifo_topk": q_frontier_fifo_topk,
         "frontier_heads_admit": q_frontier_heads_admit,
         "politeness_quota": q_politeness_quota,
+        "politeness_depth_quota": q_politeness_depth_quota,
         "watermark_agg": q_watermark_agg,
         "upsert_latest": q_upsert_latest,
         "host_last_access": q_host_last_access,
@@ -1204,6 +1264,39 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c.mid, 0)::BIGINT AS mid,
                    (a.qpos + coalesce(c.mid, 0)) <= 8 AS admitted
             FROM arr a LEFT JOIN cnt c USING (hostn)
+        """,
+        "politeness_depth_quota": """
+            WITH prior AS (
+                SELECT (o_custkey % 50)::BIGINT AS hostn,
+                       (o_orderkey % 2)::INT AS depth,
+                       sum(CASE WHEN o_orderkey % 37 < 2 THEN 1 ELSE 0
+                           END)::BIGINT AS pending_count
+                FROM orders GROUP BY 1, 2),
+            dep AS (
+                SELECT (l_orderkey % 50)::BIGINT AS hostn,
+                       (l_suppkey % 2)::INT AS depth,
+                       count(*)::BIGINT AS ndep
+                FROM lineitem
+                WHERE l_linenumber = 1 AND l_partkey % 41 = 0
+                GROUP BY 1, 2),
+            cnt AS (
+                SELECT p.hostn, p.depth,
+                       coalesce(p.pending_count, 0) - coalesce(d.ndep, 0)
+                           AS mid
+                FROM prior p LEFT JOIN dep d USING (hostn, depth)),
+            arr AS (
+                SELECT (user_id % 50)::BIGINT AS hostn,
+                       (event_id % 2)::INT AS depth, event_id, ts,
+                       (row_number() OVER (
+                            PARTITION BY user_id % 50, event_id % 2
+                            ORDER BY ts, event_id))::INT AS qpos
+                FROM events)
+            SELECT a.hostn, a.depth, a.event_id, a.ts, a.qpos,
+                   coalesce(c.mid, 0)::BIGINT AS mid,
+                   (a.qpos + coalesce(c.mid, 0))
+                       <= (CASE WHEN a.depth = 0 THEN 3 ELSE 9 END)
+                       AS admitted
+            FROM arr a LEFT JOIN cnt c USING (hostn, depth)
         """,
         "watermark_agg": """
             SELECT l_orderkey, count(*)::BIGINT AS n_items,

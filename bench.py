@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "frontier_fifo_topk",
     "frontier_heads_admit",
     "politeness_quota",
+    "politeness_depth_quota",
     "text_tfidf_topk",
     "watermark_agg",
     "upsert_latest",

@@ -99,6 +99,7 @@ def simulate(
     starvation_epochs: int = 0,
     feed_stall_epochs: int = 0,
     host_pending_cap: int = 0,
+    host_seed_cap: int = 0,
 ) -> OracleResult:
     """Both weights 0.0 -> constant priority -> the reference's pure
     mailbox FIFO. Non-zero weights replay the engine's priority frontier:
@@ -111,7 +112,14 @@ def simulate(
     robots denial). Quota consumption order within a tick is the FIFO key
     (rank, sub). The mode implies enqueue-time robots denial (heads mode):
     denied rows never occupy the frontier, so they never consume quota —
-    this is the invariant that makes the count well-defined."""
+    this is the invariant that makes the count well-defined.
+
+    ``host_seed_cap`` > 0 is the DEPTH-0 class of the per-host budget (the
+    crawl's depth classes are seeds=0, articles=1; host_pending_cap is the
+    depth-1 class): at most that many robots-allowed FEEDS per host enter
+    the frontier at init, consumed in seed order; overflow seeds are
+    terminal 'quota_denied' and their feeds die — a seed-list link farm
+    cannot monopolize a host's budget. Same heads-mode requirement."""
     spec = corpus.spec
     delay_epochs = {
         h: max(1, math.ceil(info["crawl_delay_ms"] / spec.tick_ms))
@@ -120,6 +128,7 @@ def simulate(
     res = OracleResult()
 
     tasks: list[Task] = []
+    seed_counts: dict[str, int] = {}
     for i, seed in enumerate(corpus.seeds):
         c = canonicalize_url_py(seed)
         h = url_host_py(seed)
@@ -128,11 +137,23 @@ def simulate(
             priority=_priority_py(0, None, depth_weight, recency_weight),
         )
         res.feeds[c] = {"state": "pending", "last_pub_ts": None}
-        if host_pending_cap > 0 and _disallowed(corpus, h, c):
+        if (host_pending_cap > 0 or host_seed_cap > 0) and _disallowed(
+            corpus, h, c
+        ):
             # enqueue-time robots (heads mode): a denied seed never enters
             # the frontier; the feed dies at init
             t.state = "robots_denied"
             res.feeds[c]["state"] = "dead"
+        elif (
+            host_seed_cap > 0 and seed_counts.get(h, 0) >= host_seed_cap
+        ):
+            # depth-0 budget: the host's seed quota is exhausted — the
+            # overflow seed is terminally denied and its feed dies (robots
+            # denials above never consumed quota)
+            t.state = "quota_denied"
+            res.feeds[c]["state"] = "dead"
+        elif host_seed_cap > 0:
+            seed_counts[h] = seed_counts.get(h, 0) + 1
         tasks.append(t)
 
     # seen store = the article table keyed by canonical URL (preseen = fixtures)

@@ -169,6 +169,14 @@ class CrawlConfig:
     # is only well-defined when denied rows never occupy the frontier.
     # 0 = off.
     host_pending_cap: int = 0
+    # depth-0 class of the per-host budget (depth classes: seeds=0,
+    # articles=1 — host_pending_cap is the depth-1 class): at most this
+    # many robots-allowed FEEDS per host enter the frontier at init,
+    # consumed in seed order; overflow seeds are terminally 'quota_denied'
+    # and their feeds die — a seed-list link farm cannot monopolize one
+    # host's budget. Requires heads mode (enqueue-time robots), same
+    # invariant as host_pending_cap. 0 = off.
+    host_seed_cap: int = 0
     # bucket-sizing rule (measured, tools/heads_ab.py: frontier_buckets
     # must exceed ~4× the worker budget or the per-tick heads/frontier
     # maintenance merges touch every bucket and the incremental admission
@@ -352,22 +360,54 @@ class CrawlEngine:
             # snapshot meta below, so resume never recounts
             self._n_hosts = self._hosts_src.count()
             self._big_hosts = self._n_hosts > cfg.hosts_broadcast_max
+        if cfg.host_seed_cap > 0 and not heads_mode:
+            raise ValueError(
+                "host_seed_cap requires heads mode (frontier_heads on, "
+                "frontier_buckets > 0, starvation_epochs == 0): the seed "
+                "quota is only well-defined when robots denial happens at "
+                "enqueue time, so denied seeds never consume quota"
+            )
+        qdenied0 = None
         if heads_mode:
             # seed gate: the pending side is ∝ |seeds| (itself huge at
             # scale), so big-hosts mode joins shuffled-hash — one-time cost
             a0, d0 = robots_split(
                 f0, hosts0, dim_join="shuffle" if self._big_hosts else "broadcast"
             )
-            tagged0 = (
-                a0.withColumn("__gate", F.lit("a"))
-                .unionByName(d0.withColumn("__gate", F.lit("d")))
-                .localCheckpoint(eager=True)
+            if cfg.host_seed_cap > 0:
+                # depth-0 budget: one per-host rank window over the
+                # robots-ALLOWED seeds (denied seeds never consume quota),
+                # consumed in seed order — rows past the cap are terminal
+                wsq = Window.partitionBy("host").orderBy(
+                    "e_epoch", "e_rank", "e_sub"
+                )
+                a0 = a0.withColumn("__rn", F.row_number().over(wsq))
+                q0 = a0.filter(
+                    F.col("__rn") > cfg.host_seed_cap
+                ).drop("__rn")
+                a0 = a0.filter(
+                    F.col("__rn") <= cfg.host_seed_cap
+                ).drop("__rn")
+            else:
+                q0 = None
+            tagged0 = a0.withColumn("__gate", F.lit("a")).unionByName(
+                d0.withColumn("__gate", F.lit("d"))
             )
+            if q0 is not None:
+                tagged0 = tagged0.unionByName(
+                    q0.withColumn("__gate", F.lit("q"))
+                )
+            tagged0 = tagged0.localCheckpoint(eager=True)
             allowed0 = tagged0.filter(F.col("__gate") == "a").drop("__gate")
             denied0 = tagged0.filter(F.col("__gate") == "d").drop("__gate")
             feeds_src = allowed0.withColumn(
                 "__fstate", F.lit("pending")
             ).unionByName(denied0.withColumn("__fstate", F.lit("dead")))
+            if q0 is not None:
+                qdenied0 = tagged0.filter(F.col("__gate") == "q").drop("__gate")
+                feeds_src = feeds_src.unionByName(
+                    qdenied0.withColumn("__fstate", F.lit("dead"))
+                )
         else:
             allowed0, denied0 = f0, None
             feeds_src = f0.withColumn("__fstate", F.lit("pending"))
@@ -411,6 +451,12 @@ class CrawlEngine:
         if heads_mode and denied0 is not None:
             log0 = empty_frontier_log.unionByName(
                 denied0.withColumn("state", F.lit("robots_denied")).select(
+                    *base_cols
+                )
+            )
+        if qdenied0 is not None:
+            log0 = log0.unionByName(
+                qdenied0.withColumn("state", F.lit("quota_denied")).select(
                     *base_cols
                 )
             )

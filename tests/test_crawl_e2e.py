@@ -1157,3 +1157,57 @@ def test_quota_enabled_on_resume_recounts_exactly(spark, tmp_path):
     assert denied == {
         t.url_canon for t in oracle.tasks if t.state == "quota_denied"
     }
+
+
+def test_host_seed_cap_depth0_budget_exact_vs_oracle(spark, tmp_path):
+    """Depth-class budgets: the depth-0 class (host_seed_cap) caps feeds
+    per host at init — a planted seed-list link farm (skewed host
+    assignment piles feeds onto host0) must overflow into terminal
+    quota_denied seeds with dead feeds, while the depth-1 class
+    (host_pending_cap) independently caps that host's article queue. The
+    whole crawl stays oracle-exact with BOTH classes binding."""
+    corpus = synthesize(
+        CorpusSpec(n_feeds=8, items_per_feed=6, n_hosts=3, host_skew=1.0)
+    )
+    caps = dict(host_seed_cap=2, host_pending_cap=4)
+    oracle = simulate(corpus, **caps)
+    want_qdenied = {t.url_canon for t in oracle.tasks if t.state == "quota_denied"}
+    seed_qdenied = {
+        t.url_canon
+        for t in oracle.tasks
+        if t.state == "quota_denied" and t.kind == "feed"
+    }
+    assert seed_qdenied, "the depth-0 cap never bound — weaken the spec"
+    assert want_qdenied - seed_qdenied, "the depth-1 cap never bound"
+
+    eng = _mk_engine(spark, corpus, str(tmp_path / "farm"), **caps)
+    eng.run()
+    got = [
+        (r["url_canon"], r["fetch_epoch"], r["admit_rank"])
+        for r in eng.crawl_order().collect()
+    ]
+    assert got == oracle.crawl_order
+    got_seen = {r["url_canon"]: r["pub_ts"] for r in eng.articles_final().collect()}
+    assert got_seen == oracle.seen
+    got_qdenied = {
+        r["url_canon"]
+        for r in eng.frontier_all()
+        .filter(F.col("state") == "quota_denied")
+        .collect()
+    }
+    assert got_qdenied == want_qdenied
+    got_feeds = {
+        r["feed_canon"]: r["state"] for r in eng.feeds_final().collect()
+    }
+    want_feeds = {fc: f["state"] for fc, f in oracle.feeds.items()}
+    assert got_feeds == want_feeds
+
+
+def test_host_seed_cap_requires_heads_mode(spark, tmp_path):
+    corpus = synthesize(CorpusSpec(n_feeds=4, items_per_feed=3, n_hosts=3))
+    eng = _mk_engine(
+        spark, corpus, str(tmp_path / "scap"),
+        host_seed_cap=1, frontier_buckets=0,
+    )
+    with pytest.raises(ValueError, match="heads mode"):
+        eng.run()
