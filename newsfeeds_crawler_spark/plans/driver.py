@@ -915,9 +915,15 @@ class CrawlEngine:
                 .localCheckpoint(eager=True)
             )
 
-        # the feed branch's probe and the article branch's decode are
-        # independent given the materialized ``fetched`` — overlap their
-        # materialization jobs (the two slowest non-write jobs of a tick)
+        # the mid-tick phases form TWO independent chains given the
+        # materialized ``fetched``: probe → enqueue-split (+ the
+        # touched-host/bucket collect) on the feed branch, and decode →
+        # article-upsert rows on the article branch. Each branch's second
+        # phase is chained onto its first inside ONE pool, so the tick
+        # pays max(probe+split, decode+articles) instead of
+        # max(probe, decode) + articles + split — two serial job launches
+        # fewer per tick (the structural attack on the serial-phase tick
+        # floor short of a full streaming driver, NOTES.md round-5).
         arts = arts_f.drop("parsed").withColumn(
             "a_state",
             F.when(F.col("body").isNull(), F.lit("skipped"))        # P3 null page
@@ -925,167 +931,241 @@ class CrawlEngine:
             .otherwise(F.lit("done")),
         )
         decoded_plan = decode_images(arts.filter(F.col("a_state") == "done"))
-        with ThreadPoolExecutor(max_workers=2) as ck_pool:
+
+        # quota departures (count-after-departures __mid below): every
+        # admitted row leaves pending in heads mode
+        dec = (
+            admitted.groupBy("host").agg(
+                F.count(F.lit(1)).cast("long").alias("__dec")
+            )
+            if cfg.host_pending_cap > 0
+            else None
+        )
+
+        def split_job(probed):
+            """Feed-branch phase 2: new-task build → robots/quota split →
+            rsplit checkpoint → touched-host frame + bucket-id collect."""
+            w_sub = Window.partitionBy("feed_canon").orderBy("item_idx")
+            new_tasks = (
+                probed.filter(F.col("fetch_flag"))
+                .withColumn("e_sub", F.row_number().over(w_sub) - 1)
+                .select(
+                    F.col("item_url").alias("url"),
+                    "url_canon",
+                    F.col("item_hash").alias("url_hash"),
+                    F.col("item_host").alias("host"),
+                    F.lit("article").alias("kind"),
+                    "feed_canon",
+                    F.col("item_ts").alias("parsed_pub_ts"),
+                    F.lit(tick + 1).cast("int").alias("e_epoch"),
+                    F.col("admit_rank").cast("int").alias("e_rank"),
+                    F.col("e_sub").cast("int"),
+                    priority_score(
+                        1, F.col("item_ts"), cfg.depth_weight, cfg.recency_weight
+                    ).alias("priority"),
+                    F.lit("pending").alias("state"),
+                    F.lit(None).cast("int").alias("fetch_epoch"),
+                    F.lit(None).cast("int").alias("admit_rank"),
+                )
+            )
+
+            # heads mode: robots gate at ENQUEUE — denied items never enter
+            # the frontier (preserving the heads invariant); they
+            # terminal-log this tick and count as processed for their feed.
+            # Same final denied set, feed states, and stall totals as the
+            # oracle's admission-time gate — denial is a static per-row
+            # property.
+            if heads_on:
+                # per-tick enqueue gate: the probe side is ∝ this tick's
+                # enqueues, so big-hosts mode semi-prunes the dim to those
+                # hosts before broadcasting (dim bytes ∝ activity, never
+                # |hosts|; the dim scan itself is a map-only column-pruned
+                # parquet read of (host, robots_disallow))
+                an0, dn0 = robots_split(
+                    new_tasks, hosts,
+                    dim_join="semi" if self._big_hosts else "broadcast",
+                )
+            else:
+                an0 = new_tasks
+                dn0 = self.tick_spark.createDataFrame([], S.FRONTIER_SCHEMA)
+            if cfg.host_pending_cap > 0:
+                # crawl-trap quota: a robots-allowed new task enters the
+                # frontier only while its host's pending count stays <= cap.
+                # Count-after-departures __mid = stored count − this tick's
+                # admitted rows; position within the tick's arrivals is the
+                # FIFO key order — the same deterministic order the oracle
+                # consumes quota in. The hosts scan is map-only (broadcast
+                # semi on the candidate hosts); the per-host math joins
+                # back broadcast.
+                cnt_cand = (
+                    hosts.select("host", "pending_count")
+                    .join(
+                        F.broadcast(an0.select("host").distinct()),
+                        "host",
+                        "inner",
+                    )
+                    .join(F.broadcast(dec), "host", "left")
+                    .select(
+                        "host",
+                        (
+                            F.coalesce(F.col("pending_count"), F.lit(0))
+                            - F.coalesce(F.col("__dec"), F.lit(0))
+                        ).alias("__mid"),
+                    )
+                )
+                wq = Window.partitionBy("host").orderBy(
+                    "e_epoch", "e_rank", "e_sub"
+                )
+                an_tagged = (
+                    an0.join(F.broadcast(cnt_cand), "host", "left")
+                    .withColumn("__qpos", F.row_number().over(wq))
+                    .withColumn(
+                        "__g",
+                        F.when(
+                            F.col("__qpos")
+                            + F.coalesce(F.col("__mid"), F.lit(0))
+                            <= F.lit(cfg.host_pending_cap),
+                            F.lit("a"),
+                        ).otherwise(F.lit("q")),
+                    )
+                    .drop("__qpos", "__mid")
+                )
+            else:
+                an_tagged = an0.withColumn("__g", F.lit("a"))
+            # checkpoint the split ONCE (tag-union, same shape as the
+            # gate): allowed_new/denied_new feed ~8 downstream plans
+            # (frontier merge, heads maintenance, log rows, feed-count
+            # deltas, metrics tags) and each un-checkpointed evaluation
+            # would re-run the robots broadcast join + the e_sub window —
+            # one materialization job replaces them
+            rsplit = (
+                an_tagged
+                .unionByName(dn0.withColumn("__g", F.lit("d")))
+                .localCheckpoint(eager=False)
+            )
+            # ONE job shared by the frontier merge and the heads
+            # maintenance: the hosts whose frontier rows change this tick
+            # (admitted-away ∪ newly enqueued ∪ denied-away) stay
+            # DISTRIBUTED — a lazily-checkpointed frame the downstream
+            # merges broadcast-join against — and only their distinct
+            # BUCKET ids come back to the driver (bounded by the bucket
+            # counts, never per-tick activity: at 10^6 admissions/epoch a
+            # per-host collect would ship ~10^6 strings through the driver
+            # twice per tick). The bucket collect triggers both lazy
+            # checkpoints (rsplit, then th_hosts_df).
+            th_hosts_df = None
+            touched_fr = None
+            tb_u = tb_hosts
+            if cfg.frontier_buckets > 0:
+                th_hosts_df = (
+                    admitted.select("host")
+                    .unionByName(
+                        rsplit.filter(F.col("__g") == "a").select("host")
+                    )
+                    .unionByName(denied.select("host"))
+                    .distinct()
+                    .localCheckpoint(eager=False)
+                )
+                tb = (
+                    th_hosts_df.select(
+                        F.pmod(
+                            F.xxhash64("host"), F.lit(cfg.frontier_buckets)
+                        )
+                        .cast("int")
+                        .alias("__b"),
+                        F.pmod(
+                            F.xxhash64("host"), F.lit(max(cfg.hosts_buckets, 1))
+                        )
+                        .cast("int")
+                        .alias("__hb"),
+                    )
+                    .distinct()
+                    .collect()
+                )
+                touched_fr = {r["__b"] for r in tb}
+                if cfg.host_pending_cap > 0 and cfg.hosts_buckets > 0:
+                    # quota mode touches the enqueued hosts' count rows too
+                    tb_u = tb_hosts | {r["__hb"] for r in tb}
+            return rsplit, th_hosts_df, touched_fr, tb_u
+
+        def art_job(decoded):
+            """Article-branch phase 2: prior-row lookup → upsert rows,
+            eagerly checkpointed. Same no-store-shuffle shape as the probe:
+            prune the store scan to the decoded keys' buckets, inner-join
+            it against the broadcast (tiny, ≤ workers rows) decoded key
+            set, broadcast the hits back."""
+            prior_store = store_latest
+            if cfg.seen_buckets > 0:
+                # tb_articles came free with the gate stats job: the
+                # admitted articles' buckets ⊇ the decoded keys' buckets,
+                # and extra buckets only add prior rows the inner join
+                # below discards
+                prior_store = cat.read(
+                    "seen_urls", v["seen_urls"], buckets=tb_articles
+                )
+            prior = prior_store.select(
+                F.col("url_canon").alias("__pk"),
+                F.col("article_id").alias("prior_id"),
+            ).join(
+                F.broadcast(
+                    decoded.select(F.col("url_canon").alias("__pk")).distinct()
+                ),
+                on="__pk",
+                how="inner",
+            )
+            return (
+                decoded.join(
+                    F.broadcast(prior),
+                    decoded["url_canon"] == F.col("__pk"),
+                    "left",
+                )
+                .select(
+                    "url_canon",
+                    "url_hash",
+                    F.col("prior_id").alias("article_id"),
+                    F.col("parsed_pub_ts").alias("pub_ts"),
+                    F.col("caption_x").alias("caption"),
+                    "feed_canon",
+                    F.when(F.col("__pk").isNotNull(), F.lit("update"))
+                    .otherwise(F.lit("insert"))
+                    .alias("action"),
+                    F.lit(tick).cast("int").alias("epoch"),
+                    "phash",
+                    "w",
+                    "h",
+                    "fmt",
+                    "pixels",
+                    "dec_phash",
+                    host_bucket(F.col("host"), cfg.num_host_buckets).alias(
+                        "host_bucket"
+                    ),
+                )
+                # eager: four concurrent writers consume this frame (seen
+                # merge source + its broadcast keys, articles append,
+                # filter delta) — one materialization replaces their
+                # repeated broadcast (prior ⋈ decoded) rebuilds and keeps
+                # the write pool's job count deterministic (a lazy
+                # first-touch race could double-compute)
+                .localCheckpoint(eager=True)
+            )
+
+        with ThreadPoolExecutor(max_workers=4) as ck_pool:
             f_probed = ck_pool.submit(probed_job)
             f_decoded = ck_pool.submit(
                 lambda: decoded_plan.localCheckpoint(eager=True)
             )
+            f_split = ck_pool.submit(lambda: split_job(f_probed.result()))
+            f_art = ck_pool.submit(lambda: art_job(f_decoded.result()))
             probed = f_probed.result()
             decoded = f_decoded.result()
+            rsplit, th_hosts_df, touched_fr, tb_hosts_u = f_split.result()
+            article_rows = f_art.result()
         _mark("probe_decode")
 
-        w_sub = Window.partitionBy("feed_canon").orderBy("item_idx")
-        new_tasks = (
-            probed.filter(F.col("fetch_flag"))
-            .withColumn("e_sub", F.row_number().over(w_sub) - 1)
-            .select(
-                F.col("item_url").alias("url"),
-                "url_canon",
-                F.col("item_hash").alias("url_hash"),
-                F.col("item_host").alias("host"),
-                F.lit("article").alias("kind"),
-                "feed_canon",
-                F.col("item_ts").alias("parsed_pub_ts"),
-                F.lit(tick + 1).cast("int").alias("e_epoch"),
-                F.col("admit_rank").cast("int").alias("e_rank"),
-                F.col("e_sub").cast("int"),
-                priority_score(
-                    1, F.col("item_ts"), cfg.depth_weight, cfg.recency_weight
-                ).alias("priority"),
-                F.lit("pending").alias("state"),
-                F.lit(None).cast("int").alias("fetch_epoch"),
-                F.lit(None).cast("int").alias("admit_rank"),
-            )
-        )
-
-        # heads mode: robots gate at ENQUEUE — denied items never enter the
-        # frontier (preserving the heads invariant); they terminal-log this
-        # tick and count as processed for their feed. Same final denied
-        # set, feed states, and stall totals as the oracle's
-        # admission-time gate — denial is a static per-row property.
-        if heads_on:
-            # per-tick enqueue gate: the probe side is ∝ this tick's
-            # enqueues, so big-hosts mode semi-prunes the dim to those
-            # hosts before broadcasting (dim bytes ∝ activity, never
-            # |hosts|; the dim scan itself is a map-only column-pruned
-            # parquet read of (host, robots_disallow))
-            an0, dn0 = robots_split(
-                new_tasks, hosts,
-                dim_join="semi" if self._big_hosts else "broadcast",
-            )
-        else:
-            an0 = new_tasks
-            dn0 = self.tick_spark.createDataFrame([], S.FRONTIER_SCHEMA)
-        if cfg.host_pending_cap > 0:
-            # crawl-trap quota: a robots-allowed new task enters the
-            # frontier only while its host's pending count stays <= cap.
-            # Count-after-departures __mid = stored count − this tick's
-            # admitted rows (every admitted row leaves pending in heads
-            # mode); position within the tick's arrivals is the FIFO key
-            # order — the same deterministic order the oracle consumes
-            # quota in. The hosts scan is map-only (broadcast semi on the
-            # candidate hosts); the per-host math joins back broadcast.
-            dec = admitted.groupBy("host").agg(
-                F.count(F.lit(1)).cast("long").alias("__dec")
-            )
-            cnt_cand = (
-                hosts.select("host", "pending_count")
-                .join(F.broadcast(an0.select("host").distinct()), "host", "inner")
-                .join(F.broadcast(dec), "host", "left")
-                .select(
-                    "host",
-                    (
-                        F.coalesce(F.col("pending_count"), F.lit(0))
-                        - F.coalesce(F.col("__dec"), F.lit(0))
-                    ).alias("__mid"),
-                )
-            )
-            wq = Window.partitionBy("host").orderBy("e_epoch", "e_rank", "e_sub")
-            an_tagged = (
-                an0.join(F.broadcast(cnt_cand), "host", "left")
-                .withColumn("__qpos", F.row_number().over(wq))
-                .withColumn(
-                    "__g",
-                    F.when(
-                        F.col("__qpos") + F.coalesce(F.col("__mid"), F.lit(0))
-                        <= F.lit(cfg.host_pending_cap),
-                        F.lit("a"),
-                    ).otherwise(F.lit("q")),
-                )
-                .drop("__qpos", "__mid")
-            )
-        else:
-            dec = None
-            an_tagged = an0.withColumn("__g", F.lit("a"))
-        # checkpoint the split ONCE (tag-union, same shape as the gate):
-        # allowed_new/denied_new feed ~8 downstream plans (frontier merge,
-        # heads maintenance, log rows, feed-count deltas, metrics tags) and
-        # each un-checkpointed evaluation would re-run the robots broadcast
-        # join + the e_sub window — one materialization job replaces them
-        rsplit = (
-            an_tagged
-            .unionByName(dn0.withColumn("__g", F.lit("d")))
-            .localCheckpoint(eager=False)
-        )
         allowed_new = rsplit.filter(F.col("__g") == "a").drop("__g")
         denied_new = rsplit.filter(F.col("__g") == "d").drop("__g")
         quota_denied = rsplit.filter(F.col("__g") == "q").drop("__g")
         new_tasks = rsplit.drop("__g")  # allowed ∪ robots-denied ∪ quota-denied == the full set
-
-        # ---- article branch: upsert rows (decode already materialized) ---
-        # same no-store-shuffle shape as the probe: prune the store scan to
-        # the decoded keys' buckets, inner-join it against the broadcast
-        # (tiny, ≤ workers rows) decoded key set, broadcast the hits back
-        prior_store = store_latest
-        if cfg.seen_buckets > 0:
-            # tb_articles came free with the gate stats job: the admitted
-            # articles' buckets ⊇ the decoded keys' buckets, and extra
-            # buckets only add prior rows the inner join below discards
-            prior_store = cat.read(
-                "seen_urls", v["seen_urls"], buckets=tb_articles
-            )
-        prior = prior_store.select(
-            F.col("url_canon").alias("__pk"),
-            F.col("article_id").alias("prior_id"),
-        ).join(
-            F.broadcast(
-                decoded.select(F.col("url_canon").alias("__pk")).distinct()
-            ),
-            on="__pk",
-            how="inner",
-        )
-        article_rows = (
-            decoded.join(
-                F.broadcast(prior), decoded["url_canon"] == F.col("__pk"), "left"
-            )
-            .select(
-                "url_canon",
-                "url_hash",
-                F.col("prior_id").alias("article_id"),
-                F.col("parsed_pub_ts").alias("pub_ts"),
-                F.col("caption_x").alias("caption"),
-                "feed_canon",
-                F.when(F.col("__pk").isNotNull(), F.lit("update"))
-                .otherwise(F.lit("insert"))
-                .alias("action"),
-                F.lit(tick).cast("int").alias("epoch"),
-                "phash",
-                "w",
-                "h",
-                "fmt",
-                "pixels",
-                "dec_phash",
-                host_bucket(F.col("host"), cfg.num_host_buckets).alias(
-                    "host_bucket"
-                ),
-            )
-            # eager: four concurrent writers consume this frame (seen merge
-            # source + its broadcast keys, articles append, filter delta) —
-            # one serial materialization replaces their repeated broadcast
-            # (prior ⋈ decoded) rebuilds and keeps the pool's job count
-            # deterministic (a lazy first-touch race could double-compute)
-            .localCheckpoint(eager=True)
-        )
 
         # ---- frontier state transitions ----------------------------------
         # The frontier table holds ONLY pending tasks; terminal transitions
@@ -1158,46 +1238,6 @@ class CrawlEngine:
             .select(*base)
             .unionByName(allowed_new)
         )
-
-        # ONE job shared by the frontier merge and the heads maintenance
-        # below: the hosts whose frontier rows change this tick
-        # (admitted-away ∪ newly enqueued ∪ denied-away) stay DISTRIBUTED —
-        # a lazily-checkpointed frame the downstream merges broadcast-join
-        # against — and only their distinct BUCKET ids come back to the
-        # driver (bounded by the bucket counts, never per-tick activity: at
-        # 10^6 admissions/epoch the old per-host collect shipped ~10^6
-        # strings through the driver twice per tick). The bucket collect
-        # triggers the checkpoint, so it also materializes rsplit serially
-        # (deterministic job count in the concurrent write pool).
-        th_hosts_df: DataFrame | None = None
-        touched_fr: set[int] | None = None
-        tb_hosts_u = tb_hosts
-        if cfg.frontier_buckets > 0:
-            th_hosts_df = (
-                admitted.select("host")
-                .unionByName(allowed_new.select("host"))
-                .unionByName(denied.select("host"))
-                .distinct()
-                .localCheckpoint(eager=False)
-            )
-            tb = (
-                th_hosts_df.select(
-                    F.pmod(F.xxhash64("host"), F.lit(cfg.frontier_buckets))
-                    .cast("int")
-                    .alias("__b"),
-                    F.pmod(
-                        F.xxhash64("host"), F.lit(max(cfg.hosts_buckets, 1))
-                    )
-                    .cast("int")
-                    .alias("__hb"),
-                )
-                .distinct()
-                .collect()
-            )
-            touched_fr = {r["__b"] for r in tb}
-            if cfg.host_pending_cap > 0 and cfg.hosts_buckets > 0:
-                # quota mode touches the enqueued hosts' count rows too
-                tb_hosts_u = tb_hosts | {r["__hb"] for r in tb}
 
         # ---- hosts politeness state (A4) ---------------------------------
         # only the admitted hosts change last_access_epoch this tick; the
