@@ -434,6 +434,74 @@ def q_politeness_depth_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_asof_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-robots AS-OF join (the mid-crawl robots refresh's read
+    side, plans/driver.py _apply_robots_updates / oracle/refsim.py): for
+    every request the rule version in force = the latest version with
+    effective_epoch <= request epoch (a version applies at the START of
+    its epoch, so an equal-epoch version IS in force — the union tag
+    sorts versions before requests).
+
+    Scale shape: the classic single-pass as-of join — union the (small)
+    versions table into the requests, ONE window per host carrying the
+    last non-null version forward (last ignorenulls over a running ROWS
+    frame). No per-request version-scan join, no theta join; cost is one
+    shuffle on host + a linear pass, at any version or request count.
+
+    Table mapping: versions from orders (hostn = o_custkey % 40, epoch =
+    o_orderkey % 20 + 1, deduped to max o_orderkey per host-epoch);
+    requests from events (hostn = user_id % 40, epoch = event_id % 25)."""
+    orders = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    versions = orders.groupBy(
+        (F.col("o_custkey") % 40).cast("long").alias("hostn"),
+        (F.col("o_orderkey") % 20 + 1).cast("int").alias("epoch"),
+    ).agg(F.max("o_orderkey").cast("long").alias("rules_id"))
+    reqs = ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        (F.col("user_id") % 40).cast("long").alias("hostn"),
+        (F.col("event_id") % 25).cast("int").alias("epoch"),
+    )
+    u = versions.select(
+        "hostn",
+        "epoch",
+        F.lit(0).alias("tag"),
+        F.col("epoch").alias("ver_epoch"),
+        "rules_id",
+        F.lit(None).cast("long").alias("event_id"),
+    ).unionByName(
+        reqs.select(
+            "hostn",
+            "epoch",
+            F.lit(1).alias("tag"),
+            F.lit(None).cast("int").alias("ver_epoch"),
+            F.lit(None).cast("long").alias("rules_id"),
+            "event_id",
+        )
+    )
+    # ties among same-epoch requests are harmless: request rows carry null
+    # version fields, so last(ignorenulls) is invariant to their order
+    w = (
+        Window.partitionBy("hostn")
+        .orderBy("epoch", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn(
+            "rule_epoch", F.last("ver_epoch", ignorenulls=True).over(w)
+        )
+        .withColumn("rid", F.last("rules_id", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "hostn",
+            F.col("epoch").alias("req_epoch"),
+            "rule_epoch",
+            F.col("rid").alias("rules_id"),
+        )
+    )
+
+
 def q_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+A2/S7 — per-feed completion count + watermark aggregate."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1075,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_heads_admit": q_frontier_heads_admit,
         "politeness_quota": q_politeness_quota,
         "politeness_depth_quota": q_politeness_depth_quota,
+        "robots_asof_rules": q_robots_asof_rules,
         "watermark_agg": q_watermark_agg,
         "upsert_latest": q_upsert_latest,
         "host_last_access": q_host_last_access,
@@ -1297,6 +1366,32 @@ def oracle_sql() -> dict[str, str]:
                        <= (CASE WHEN a.depth = 0 THEN 3 ELSE 9 END)
                        AS admitted
             FROM arr a LEFT JOIN cnt c USING (hostn, depth)
+        """,
+        "robots_asof_rules": """
+            WITH versions AS (
+                SELECT (o_custkey % 40)::BIGINT AS hostn,
+                       (o_orderkey % 20 + 1)::INT AS epoch,
+                       max(o_orderkey)::BIGINT AS rules_id
+                FROM orders GROUP BY 1, 2),
+            reqs AS (
+                SELECT event_id::BIGINT AS event_id,
+                       (user_id % 40)::BIGINT AS hostn,
+                       (event_id % 25)::INT AS epoch
+                FROM events),
+            u AS (
+                SELECT hostn, epoch, 0 AS tag, epoch AS ver_epoch,
+                       rules_id, NULL::BIGINT AS event_id
+                FROM versions
+                UNION ALL
+                SELECT hostn, epoch, 1, NULL::INT, NULL::BIGINT, event_id
+                FROM reqs)
+            SELECT event_id, hostn, epoch AS req_epoch,
+                   last_value(ver_epoch IGNORE NULLS) OVER w AS rule_epoch,
+                   last_value(rules_id IGNORE NULLS) OVER w AS rules_id
+            FROM u
+            WINDOW w AS (PARTITION BY hostn ORDER BY epoch, tag
+                         ROWS UNBOUNDED PRECEDING)
+            QUALIFY tag = 1
         """,
         "watermark_agg": """
             SELECT l_orderkey, count(*)::BIGINT AS n_items,

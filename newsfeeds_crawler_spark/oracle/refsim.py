@@ -72,13 +72,15 @@ class OracleResult:
         return [u for u, _, _ in self.crawl_order]
 
 
-def _disallowed(corpus: SynthCorpus, host: str, url_canon: str) -> bool:
-    info = corpus.hosts.get(host)
-    if not info:
+def _disallowed(rules: dict[str, list[str]], host: str, url_canon: str) -> bool:
+    """``rules``: host -> CURRENT disallow prefixes (robots_updates mutate
+    this mid-run; hosts absent from the dict allow everything)."""
+    prefixes = rules.get(host)
+    if not prefixes:
         return False
     rest = url_canon.split("://", 1)[-1]
     path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
-    return any(path.startswith(p) for p in info["disallow"])
+    return any(path.startswith(p) for p in prefixes)
 
 
 def _priority_py(depth: int, pub_ts: Optional[datetime],
@@ -100,6 +102,8 @@ def simulate(
     feed_stall_epochs: int = 0,
     host_pending_cap: int = 0,
     host_seed_cap: int = 0,
+    robots_updates: Optional[list[dict]] = None,
+    enqueue_robots: Optional[bool] = None,
 ) -> OracleResult:
     """Both weights 0.0 -> constant priority -> the reference's pure
     mailbox FIFO. Non-zero weights replay the engine's priority frontier:
@@ -119,12 +123,53 @@ def simulate(
     depth-1 class): at most that many robots-allowed FEEDS per host enter
     the frontier at init, consumed in seed order; overflow seeds are
     terminal 'quota_denied' and their feeds die — a seed-list link farm
-    cannot monopolize a host's budget. Same heads-mode requirement."""
+    cannot monopolize a host's budget. Same heads-mode requirement.
+
+    ``robots_updates`` replays the engine's mid-crawl robots refresh: each
+    dict is {host, effective_epoch (>= 1), disallow (list[str] | None =
+    keep), crawl_delay_ms (int | None = keep)} and takes effect at the very
+    START of its effective epoch, before that epoch's stall sweep / robots
+    gate / admission. Rule versioning is exactly the engine's: enqueue-time
+    gates (quota mode) read the version in force at the task's ENQUEUE
+    epoch — already-pending rows keep their admission; the legacy
+    admission-time gate re-checks pending rows against the CURRENT rules
+    each tick. Updates for hosts outside the corpus are ignored (the engine
+    inner-joins its hosts table).
+
+    ``enqueue_robots`` pins WHERE the robots gate fires: True = at enqueue
+    (the engine's heads mode — denied rows never enter the frontier),
+    False = at admission each tick (the legacy full-frontier mode).
+    Default None = implied by the quota knobs (the historical behavior —
+    quota requires the enqueue-time gate). Under STATIC rules the two
+    timings produce identical final states (denial is a static per-row
+    property — the equivalence the r1–r4 suites pinned); under
+    robots_updates they genuinely diverge (a pending row outlives a rule
+    change only in enqueue mode), so update tests must pass the engine's
+    actual mode."""
+    if enqueue_robots is None:
+        enqueue_robots = host_pending_cap > 0 or host_seed_cap > 0
+    if (host_pending_cap > 0 or host_seed_cap > 0) and not enqueue_robots:
+        raise ValueError(
+            "quota modes require the enqueue-time robots gate "
+            "(enqueue_robots=True): denied rows must never consume quota"
+        )
     spec = corpus.spec
     delay_epochs = {
         h: max(1, math.ceil(info["crawl_delay_ms"] / spec.tick_ms))
         for h, info in corpus.hosts.items()
     }
+    # CURRENT robots rules — robots_updates mutate these mid-run; applied
+    # in (effective_epoch, host) order so a later version wins
+    rules = {h: list(info["disallow"]) for h, info in corpus.hosts.items()}
+    updates = sorted(
+        (
+            u
+            for u in (robots_updates or [])
+            if u["host"] in corpus.hosts and u["effective_epoch"] >= 1
+        ),
+        key=lambda u: (u["effective_epoch"], u["host"]),
+    )
+    ui = 0
     res = OracleResult()
 
     tasks: list[Task] = []
@@ -137,9 +182,7 @@ def simulate(
             priority=_priority_py(0, None, depth_weight, recency_weight),
         )
         res.feeds[c] = {"state": "pending", "last_pub_ts": None}
-        if (host_pending_cap > 0 or host_seed_cap > 0) and _disallowed(
-            corpus, h, c
-        ):
+        if enqueue_robots and _disallowed(rules, h, c):
             # enqueue-time robots (heads mode): a denied seed never enters
             # the frontier; the feed dies at init
             t.state = "robots_denied"
@@ -189,6 +232,19 @@ def simulate(
     last_access: dict[str, int] = {}
     epoch = 0
     while epoch < max_epochs:
+        # mid-crawl robots refresh: updates effective this epoch apply
+        # FIRST — before the stall sweep and the robots/admission gates —
+        # mirroring the engine's apply-at-tick-start (plans/driver.py
+        # _apply_robots_updates). None fields keep the prior value.
+        while ui < len(updates) and updates[ui]["effective_epoch"] <= epoch:
+            u = updates[ui]
+            ui += 1
+            if u.get("disallow") is not None:
+                rules[u["host"]] = list(u["disallow"])
+            if u.get("crawl_delay_ms") is not None:
+                delay_epochs[u["host"]] = max(
+                    1, math.ceil(u["crawl_delay_ms"] / spec.tick_ms)
+                )
         # per-feed stall sweep (every feed_stall_epochs ticks, BEFORE the
         # robots gate / admission — the engine runs the identical rule):
         # a crawling feed whose countdown made no progress for >= N epochs
@@ -225,12 +281,13 @@ def simulate(
         if not pending:
             break
 
-        # robots gate at admission time (quota mode gates at enqueue
-        # instead — no pending row can be disallowed there)
-        if host_pending_cap == 0:
+        # robots gate at admission time (enqueue mode gates at enqueue
+        # instead — no pending row is re-checked there, so a row enqueued
+        # under old rules survives a mid-crawl disallow)
+        if not enqueue_robots:
             still = []
             for t in pending:
-                if _disallowed(corpus, t.host, t.url_canon):
+                if _disallowed(rules, t.host, t.url_canon):
                     t.state = "robots_denied"
                     if t.kind == "article":
                         progress(t.feed_canon, t.key[0] - 1)
@@ -322,7 +379,7 @@ def simulate(
                                 1, item_ts, depth_weight, recency_weight
                             ),
                         )
-                        if host_pending_cap > 0 and _disallowed(corpus, ih, ic):
+                        if enqueue_robots and _disallowed(rules, ih, ic):
                             # enqueue-time robots (heads mode): terminal,
                             # processes for its feed at the enqueue epoch,
                             # never pending, never consumes quota

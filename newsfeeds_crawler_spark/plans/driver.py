@@ -221,7 +221,22 @@ class CrawlEngine:
         seeds: DataFrame,      # seed_idx, url
         preseen: DataFrame,    # url_canon, article_id, pub_ts, caption
         config: CrawlConfig | None = None,
+        robots_updates: DataFrame | None = None,
     ):
+        """``robots_updates``: optional mid-crawl robots refresh schedule —
+        (host, effective_epoch >= 1, robots_disallow, crawl_delay_ms); null
+        fields keep the host's prior value, '' clears the disallow list. A
+        host's rules change at the START of the effective epoch, before
+        that tick's sweeps and gates, so enqueue-time gates (heads mode)
+        read the version in force at the task's ENQUEUE epoch and the
+        legacy admission-time gate re-checks pending rows against the
+        current rules each tick — the same versioning the oracle replays
+        (oracle/refsim.py simulate(robots_updates=)). The schedule persists
+        in the workdir at init (resume replays the SAME schedule and
+        ignores this argument), and rule application is idempotent
+        (latest-non-null-wins per field), so a torn tick or a lost
+        applied-through marker re-applies safely. Real-crawl analog: the
+        refetch loop that re-reads robots.txt lands its parsed diffs here."""
         self.spark = spark
         self.cfg = config or CrawlConfig()
         # bucket-sizing rule (heads mode): buckets < 4×workers degenerate
@@ -278,6 +293,11 @@ class CrawlEngine:
         self._hosts_src = hosts
         self._seeds_src = seeds
         self._preseen_src = preseen
+        self._robots_updates_src = robots_updates
+        # distinct effective epochs of the persisted schedule, sorted —
+        # driver-side metadata (∝ #update epochs, bounded by the run
+        # length) so non-update ticks pay ZERO extra jobs
+        self._ru_epochs: list[int] = []
         # True once |hosts| is known to exceed hosts_broadcast_max — set
         # once per run (init counts the source, resume reads the persisted
         # count); flips every hosts-dim join off the broadcast path
@@ -535,11 +555,132 @@ class CrawlEngine:
         }
         if heads_v is not None:
             versions["frontier_heads"] = heads_v
+        if self._robots_updates_src is not None:
+            versions["robots_updates"] = self._write_robots_updates()
         cat.commit_epoch(
             0, versions,
             meta={"event": "init", "host_pending_cap": cfg.host_pending_cap},
         )
         return versions
+
+    def _write_robots_updates(self) -> int:
+        """Persist the robots refresh schedule ONCE at init (resume replays
+        the stored table — the run stays a pure function of the workdir).
+        Validates effective_epoch >= 1 (epoch 0's rules are the hosts
+        table itself) and (host, effective_epoch) uniqueness (two updates
+        for one host in one epoch have no defined winner); one metadata-
+        sized aggregate job, never re-run."""
+        ru = self._robots_updates_src.select(
+            F.col("host").cast("string"),
+            F.col("effective_epoch").cast("int"),
+            F.col("robots_disallow").cast("string"),
+            F.col("crawl_delay_ms").cast("long"),
+        )
+        stats = ru.agg(
+            F.min("effective_epoch").alias("mn"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("host", "effective_epoch").alias("nd"),
+            F.collect_set("effective_epoch").alias("epochs"),
+        ).first()
+        if stats["n"] and stats["mn"] < 1:
+            raise ValueError(
+                "robots_updates.effective_epoch must be >= 1: epoch 0's "
+                "rules belong in the hosts table"
+            )
+        if stats["n"] != stats["nd"]:
+            raise ValueError(
+                "robots_updates has duplicate (host, effective_epoch) rows "
+                "— one rule version per host per epoch"
+            )
+        self._ru_epochs = sorted(stats["epochs"] or [])
+        return self.cat.write("robots_updates", ru)
+
+    def _apply_robots_updates(
+        self, tick: int, applied: int, v: dict[str, int]
+    ) -> dict[str, int]:
+        """Fold schedule rows with effective_epoch in (applied, tick] into
+        the hosts table — the mid-crawl robots refresh. Latest non-null
+        value per (host, field) wins, so applying a window of several
+        epochs at once (resume across a lost applied-through marker) lands
+        the same state as applying them tick by tick, and re-application
+        is idempotent. I/O ∝ the update batch's host buckets
+        (merge_bucketed), never |hosts|; the new hosts snapshot version
+        also invalidates any speculated next-tick gate by construction
+        (its reuse key pins the hosts version)."""
+        cfg, cat = self.cfg, self.cat
+        ru = cat.read("robots_updates", v["robots_updates"]).filter(
+            (F.col("effective_epoch") > applied)
+            & (F.col("effective_epoch") <= tick)
+        )
+        w = Window.partitionBy("host").orderBy(
+            F.col("effective_epoch").desc()
+        ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        u = (
+            ru.withColumn(
+                "__new_dis", F.first("robots_disallow", ignorenulls=True).over(w)
+            )
+            .withColumn(
+                "__new_cd", F.first("crawl_delay_ms", ignorenulls=True).over(w)
+            )
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("host").orderBy(
+                        F.col("effective_epoch").desc()
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select("host", "__new_dis", "__new_cd")
+        )
+        new_dis = F.coalesce(F.col("__new_dis"), F.col("robots_disallow"))
+        new_de = F.when(
+            F.col("__new_cd").isNotNull(),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("__new_cd") / F.lit(cfg.tick_ms)).cast("int"),
+            ),
+        ).otherwise(F.col("delay_epochs"))
+        hfields = [f.name for f in S.HOSTS_SCHEMA.fields]
+        hman = cat.meta("hosts", v["hosts"])
+        nv = dict(v)
+        if hman.get("num_buckets"):
+            B = hman["num_buckets"]
+            ub = u.localCheckpoint(eager=False)
+            tb = {
+                r["__hb"]
+                for r in ub.select(
+                    F.pmod(F.xxhash64("host"), F.lit(B)).cast("int").alias("__hb")
+                )
+                .distinct()
+                .collect()
+            }
+            # inner join: updates for hosts the crawl never knew are
+            # ignored (the oracle filters to corpus hosts the same way)
+            hosts_upd = (
+                self._read_hosts(v, buckets=tb)
+                .join(F.broadcast(ub), "host", "inner")
+                .withColumn("robots_disallow", new_dis)
+                .withColumn("delay_epochs", new_de)
+                .select(*hfields)
+            )
+            nv["hosts"] = cat.merge_bucketed(
+                "hosts", hosts_upd, on="host",
+                base_version=v["hosts"], touched=tb,
+            )
+        else:
+            hosts_upd = (
+                self._read_hosts(v)
+                .join(F.broadcast(u), "host", "left")
+                .withColumn("robots_disallow", new_dis)
+                .withColumn("delay_epochs", new_de)
+                .select(*hfields)
+            )
+            nv["hosts"] = cat.write(
+                "hosts", hosts_upd,
+                meta={k: hman[k] for k in ("n_hosts",) if k in hman},
+            )
+        return nv
 
     def _read_hosts(self, v: dict[str, int], buckets: set[int] | None = None) -> DataFrame:
         """Read the hosts table at the epoch-pinned version, backfilling the
@@ -2052,9 +2193,26 @@ class CrawlEngine:
                 versions = {
                     k: n for k, n in versions.items() if k != "frontier_heads"
                 }
+        if "robots_updates" in versions and not self._ru_epochs:
+            # resume: load the persisted schedule's distinct effective
+            # epochs once (metadata-sized) — the per-tick due-check is then
+            # pure driver logic, zero jobs on non-update ticks
+            self._ru_epochs = sorted(
+                r["effective_epoch"]
+                for r in cat.read("robots_updates", versions["robots_updates"])
+                .select("effective_epoch")
+                .distinct()
+                .collect()
+            )
         # per-bucket pending counts: resume from the epoch manifest meta;
         # a workdir from before the counts existed recomputes them ONCE
         emeta = cat.epoch_meta(last)
+        # robots refresh high-water mark: every update with effective_epoch
+        # <= this is already folded into the committed hosts snapshot. A
+        # manifest without the marker (compaction commits, old layouts)
+        # re-applies from 0 — safe because application is idempotent
+        # (latest-non-null-wins over the schedule prefix).
+        ru_applied = int(emeta.get("robots_applied_through", 0) or 0)
         if cfg.host_pending_cap > 0 and int(emeta.get("host_pending_cap", 0) or 0) == 0:
             # the quota knob flipped ON over a workdir whose earlier ticks
             # ran with it off (or a pre-quota layout): the stored per-host
@@ -2119,6 +2277,19 @@ class CrawlEngine:
         stalled_for = 0
         while tick < cfg.max_epochs:
             sweep_dirty = False
+            if self._ru_epochs and any(
+                ru_applied < e <= tick for e in self._ru_epochs
+            ):
+                # mid-crawl robots refresh: rules effective this epoch apply
+                # FIRST — before the stall sweep and the tick's gates (the
+                # oracle applies at the same point). The new hosts version
+                # also misses the speculated gate's reuse key, so a
+                # speculated admission never sees stale rules.
+                versions = self._apply_robots_updates(
+                    tick, ru_applied, versions
+                )
+                ru_applied = tick
+                sweep_dirty = True
             if (
                 cfg.feed_stall_epochs
                 and tick > 0
@@ -2131,15 +2302,17 @@ class CrawlEngine:
             result = self._run_tick(tick, versions, counts)
             if result is None:
                 if sweep_dirty:
-                    # the sweep drained the last pending rows — pin its
-                    # table versions in a final epoch manifest so the
-                    # quarantine is visible to committed readers
+                    # a pre-tick maintenance step (feed-stall quarantine /
+                    # robots refresh) changed table versions but the run
+                    # converged — pin them in a final epoch manifest so
+                    # they are visible to committed readers
                     cat.commit_epoch(
                         tick + 1,
                         versions,
                         meta={
-                            "event": "feed_stall",
+                            "event": "pre_tick_maintenance",
                             "host_pending_cap": cfg.host_pending_cap,
+                            "robots_applied_through": ru_applied,
                             "pending_counts": {
                                 str(b): n for b, n in counts.items()
                             },
@@ -2151,6 +2324,7 @@ class CrawlEngine:
             meta = dict(meta)
             meta["pending_counts"] = {str(b): n for b, n in counts.items()}
             meta["host_pending_cap"] = cfg.host_pending_cap
+            meta["robots_applied_through"] = ru_applied
             cat.commit_epoch(tick + 1, versions, meta=meta)
             if progress:
                 print(f"[crawl] {meta}")
@@ -2163,7 +2337,8 @@ class CrawlEngine:
                 versions = self._quarantine_stalled(tick + 1, versions)
                 cat.commit_epoch(
                     tick + 2, versions, meta={"event": "stall_timeout",
-                          "host_pending_cap": cfg.host_pending_cap}
+                          "host_pending_cap": cfg.host_pending_cap,
+                          "robots_applied_through": ru_applied}
                 )
                 tick += 2
                 break
@@ -2187,7 +2362,8 @@ class CrawlEngine:
                         mode="overwrite",
                     )
                 cat.commit_epoch(tick + 1, versions, meta={"event": "compact_log",
-                          "host_pending_cap": cfg.host_pending_cap})
+                          "host_pending_cap": cfg.host_pending_cap,
+                          "robots_applied_through": ru_applied})
             if (
                 cfg.compact_articles_every
                 and (tick + 1) % cfg.compact_articles_every == 0
@@ -2206,7 +2382,8 @@ class CrawlEngine:
                     versions = dict(versions)
                     versions["articles"] = v_new
                     cat.commit_epoch(tick + 1, versions, meta={"event": "compact",
-                          "host_pending_cap": cfg.host_pending_cap})
+                          "host_pending_cap": cfg.host_pending_cap,
+                          "robots_applied_through": ru_applied})
             tick += 1
         return {"epochs": tick, "versions": versions}
 

@@ -159,4 +159,5 @@ STATE_TABLES = [
     "metrics",
     "errors",
     "seen_filter",  # persisted bloom/cuckoo blobs (present when enabled)
+    "robots_updates",  # mid-crawl robots refresh schedule (static, written once)
 ]

@@ -52,6 +52,18 @@ HOSTS_SCHEMA = StructType(
     ]
 )
 
+# mid-crawl robots refresh schedule (CrawlEngine(robots_updates=) /
+# simulate(robots_updates=)): null fields keep the host's prior value,
+# '' clears the disallow list
+ROBOTS_UPDATES_SCHEMA = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("effective_epoch", IntegerType(), False),  # >= 1
+        StructField("robots_disallow", StringType(), True),  # \n-joined prefixes
+        StructField("crawl_delay_ms", LongType(), True),
+    ]
+)
+
 PRESEEN_SCHEMA = StructType(
     [
         StructField("url_canon", StringType(), False),
@@ -86,6 +98,23 @@ def hosts_df(spark: SparkSession, corpus: SynthCorpus) -> DataFrame:
         for h, info in corpus.hosts.items()
     ]
     return spark.createDataFrame(rows, HOSTS_SCHEMA)
+
+
+def robots_updates_df(spark: SparkSession, updates: list[dict]) -> DataFrame:
+    """Schedule rows for CrawlEngine(robots_updates=): each dict is
+    {host, effective_epoch, disallow (list[str] | None), crawl_delay_ms
+    (int | None)} — the same shape simulate(robots_updates=) consumes, so
+    a test builds ONE list and feeds both sides."""
+    rows = [
+        (
+            u["host"],
+            int(u["effective_epoch"]),
+            None if u.get("disallow") is None else "\n".join(u["disallow"]),
+            None if u.get("crawl_delay_ms") is None else int(u["crawl_delay_ms"]),
+        )
+        for u in updates
+    ]
+    return spark.createDataFrame(rows, ROBOTS_UPDATES_SCHEMA)
 
 
 def preseen_df(spark: SparkSession, corpus: SynthCorpus) -> DataFrame:
