@@ -57,7 +57,21 @@ from newsfeeds_crawler_spark.operators.similarity import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one test table, rebalancing when the scan yields fewer splits
+    than cores. The sf0.1 files are single-row-group parquet, so every
+    CPU-heavy derivation downstream (shingling, signatures, phash) would
+    otherwise run as ONE task on a 32-core session — a small-file
+    artifact, not a plan property. At real scale the scan produces
+    >= cores splits and this is a no-op (no shuffle added); the condition
+    is the same "source splits < slots" rebalance a production ingest
+    applies to small dimension feeds. Round-robin repartition is
+    value-neutral: every gate aggregates order-independently (int sums /
+    min / max / per-pair folds), which check_entry re-verifies."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
 
 
 # =====================================================================
@@ -679,13 +693,17 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace + BPE-ish) and rolling-hash fingerprint."""
+    """Token counting (whitespace + BPE-ish) and rolling-hash fingerprint
+    (whole-document hashing → the Arrow twin; values bit-identical to the
+    expression fold, so the DuckDB mirror is unchanged)."""
+    from newsfeeds_crawler_spark.functions.text import fingerprint64_arrow
+
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         token_count_ws(F.col("text")).alias("n_tok_ws"),
         token_count_bpe_ish(F.col("text")).alias("n_tok_bpe"),
-        fingerprint64(F.col("text")).alias("fp64"),
+        fingerprint64_arrow(F.col("text")).alias("fp64"),
     )
 
 

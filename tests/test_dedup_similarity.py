@@ -271,3 +271,50 @@ def test_neardup_components_multi_hop_chain(spark):
     assert got == want
     assert got[5] == (1, False) and got[12] == (10, False)
     assert sum(1 for c, canon in got.values() if canon) == 4
+
+
+def test_pq_arrow_equals_expr_bitexact(spark):
+    """The Arrow-batched PQ encode (vectorized numpy argmin) and the
+    pure-Catalyst expression fold must agree BIT-EXACTLY — codes, ADC
+    doubles, and ranks — on data with planted ties (duplicate codebook
+    subvectors force the smallest-codeword tie-break on both paths)."""
+    import numpy as np
+
+    from newsfeeds_crawler_spark.operators.similarity import (
+        pq_encode, pq_topk,
+    )
+
+    rng = np.random.default_rng(23)
+    DIM, NSUB = 16, 4
+    base = [[float(x) for x in rng.normal(size=DIM)] for _ in range(40)]
+    # planted tie: vec 7 repeats vec 1's values, so two codebook rows
+    # (both % 3 == 0 ids shifted below) can sit at the same distance
+    base[7] = list(base[1])
+    base[13] = list(base[4])
+    rows = [(i, v) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codebook = df.filter(F.col("vec_id").isin(1, 4, 7, 13, 20, 25, 31))
+
+    enc_a = {
+        r["id"]: list(r["codes"])
+        for r in pq_encode(df, codebook, DIM, NSUB, impl="arrow").collect()
+    }
+    enc_e = {
+        r["id"]: list(r["codes"])
+        for r in pq_encode(df, codebook, DIM, NSUB, impl="expr").collect()
+    }
+    assert enc_a == enc_e
+    # ties resolved to the SMALLEST codeword id: vec 1 == vec 7 in the
+    # codebook, so every code that picks one of them must pick id 1
+    assert all(c != 7 for c in enc_a[1]) and all(c != 13 for c in enc_a[4])
+
+    qs = df.filter(F.col("vec_id") < 6)
+    top_a = sorted(
+        map(tuple, pq_topk(df, qs, codebook, DIM, NSUB, k=7,
+                           impl="arrow").collect())
+    )
+    top_e = sorted(
+        map(tuple, pq_topk(df, qs, codebook, DIM, NSUB, k=7,
+                           impl="expr").collect())
+    )
+    assert top_a == top_e
