@@ -54,6 +54,18 @@ from newsfeeds_crawler_spark.operators.similarity import (
     embedding_cosine_pairs,
     ivf_topk,
 )
+from newsfeeds_crawler_spark.operators.textquality import (
+    DUP_TRIGRAM_CHAR_MAX,
+    PII_EMAIL_RE,
+    PII_IPV4_RE,
+    PII_PHONE_RE,
+    SEGMENT_DUP_MAX,
+    SEGMENT_WINDOW,
+    TOP_BIGRAM_MAX,
+    pii_scrub,
+    repetition_stats,
+    segment_dedup,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -718,6 +730,28 @@ def q_text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (operators/textquality.py): top-
+    bigram occurrence fraction + duplicated-trigram character fraction +
+    the keep/drop verdict, per document."""
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document segment dedup (operators/textquality.py):
+    16-token windows fingerprinted corpus-wide; per-doc duplicated-segment
+    ratio and keep flag."""
+    return segment_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/textquality.py): deterministic synthetic
+    email/phone/IPv4 injection (arithmetic on doc_id, mirrored in the
+    oracle), regex counts, placeholder redaction verified by hashing the
+    scrubbed text on both engines."""
+    return pii_scrub(_t(spark, sf_dir, "documents"))
+
+
 def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-merge BPE tokenizer (operators/bpe.py): merges trained on
     the documents table itself (one word-count aggregate + bounded top-k +
@@ -1179,6 +1213,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_multiprobe": q_similarity_ivf_multiprobe,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_stats": q_text_stats,
+        "text_repetition_quality": q_text_repetition_quality,
+        "dedup_segment_exact": q_dedup_segment_exact,
+        "text_pii_scrub": q_text_pii_scrub,
         "text_tfidf_topk": q_text_tfidf_topk,
         "text_lang_quality": q_text_lang_quality,
         "text_bpe_tokens": q_text_bpe_tokens,
@@ -1688,6 +1725,108 @@ def oracle_sql() -> dict[str, str]:
                    {_quality_sql()} AS quality,
                    round({_sw_ratio_sql(STOPWORDS_EN)}, 6) AS stop_ratio
             FROM documents
+        """,
+        "text_repetition_quality": f"""
+            WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks
+                       FROM documents),
+            g AS (
+                SELECT doc_id, 2 AS n,
+                       unnest(CASE WHEN len(toks) >= 2 THEN
+                           list_transform(generate_series(0, len(toks) - 2),
+                               __i -> array_to_string(
+                                   toks[__i + 1 : __i + 2], ' '))
+                           ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM t
+                UNION ALL
+                SELECT doc_id, 3 AS n,
+                       unnest(CASE WHEN len(toks) >= 3 THEN
+                           list_transform(generate_series(0, len(toks) - 3),
+                               __i -> array_to_string(
+                                   toks[__i + 1 : __i + 3], ' '))
+                           ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM t),
+            pg AS (SELECT doc_id, n, gram, count(*) AS cnt
+                   FROM g GROUP BY 1, 2, 3),
+            pn AS (SELECT doc_id, n, max(cnt) AS top_cnt, sum(cnt) AS tot,
+                          sum(cnt * len(gram)) AS tot_chars,
+                          sum(CASE WHEN cnt >= 2 THEN cnt * len(gram)
+                              ELSE 0 END) AS dup_chars
+                   FROM pg GROUP BY 1, 2),
+            pv AS (SELECT doc_id,
+                          max(CASE WHEN n = 2 THEN
+                              round(top_cnt::DOUBLE / tot, 6) END) AS tb,
+                          max(CASE WHEN n = 3 THEN
+                              round(dup_chars::DOUBLE
+                                    / greatest(tot_chars, 1), 6) END) AS dt
+                   FROM pn GROUP BY 1)
+            SELECT doc_id,
+                   coalesce(tb, 0.0) AS top_bigram_frac,
+                   coalesce(dt, 0.0) AS dup_trigram_char_frac,
+                   (coalesce(tb, 0.0) <= {TOP_BIGRAM_MAX}
+                    AND coalesce(dt, 0.0) <= {DUP_TRIGRAM_CHAR_MAX})
+                       AS rep_ok
+            FROM documents LEFT JOIN pv USING (doc_id)
+        """,
+        "dedup_segment_exact": f"""
+            WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks
+                       FROM documents),
+            s AS (SELECT doc_id,
+                         unnest(list_transform(
+                             generate_series(0,
+                                 CAST(ceil(len(toks) / {SEGMENT_WINDOW}.0)
+                                      AS BIGINT) - 1),
+                             __i -> array_to_string(
+                                 toks[__i * {SEGMENT_WINDOW} + 1
+                                      : __i * {SEGMENT_WINDOW}
+                                        + {SEGMENT_WINDOW}], ' '))) AS seg
+                  FROM t),
+            h AS (SELECT doc_id, {fingerprint_sql('seg')} AS sh FROM s),
+            c AS (SELECT sh, count(*) AS occ FROM h GROUP BY 1),
+            p AS (SELECT doc_id, count(*) AS n_segments,
+                         sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS n_dup
+                  FROM h JOIN c USING (sh) GROUP BY 1)
+            SELECT doc_id, n_segments::BIGINT AS n_segments,
+                   n_dup::BIGINT AS n_dup_segments,
+                   round(n_dup::DOUBLE / n_segments, 6) AS dup_ratio,
+                   (round(n_dup::DOUBLE / n_segments, 6)
+                    < {SEGMENT_DUP_MAX}) AS keep
+            FROM p
+        """,
+        "text_pii_scrub": f"""
+            WITH s AS (
+                SELECT doc_id, text
+                    || (CASE WHEN doc_id % 3 = 0 THEN
+                        ' contact user' || doc_id::VARCHAR
+                        || '@example.com ok' ELSE '' END)
+                    || (CASE WHEN doc_id % 5 = 0 THEN
+                        ' call 555-' || (doc_id % 900 + 100)::VARCHAR
+                        || '-' || (doc_id % 9000 + 1000)::VARCHAR
+                        ELSE '' END)
+                    || (CASE WHEN doc_id % 7 = 0 THEN
+                        ' at 10.' || (doc_id % 256)::VARCHAR || '.0.'
+                        || ((doc_id * 7) % 256)::VARCHAR || ' end'
+                        ELSE '' END) AS salted
+                FROM documents),
+            r AS (SELECT doc_id, salted,
+                         regexp_replace(regexp_replace(regexp_replace(
+                             salted,
+                             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                             '{PII_IPV4_RE}', '<IP>', 'g'),
+                             '{PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+                  FROM s)
+            SELECT doc_id,
+                   len(regexp_extract_all(salted,
+                       '{PII_EMAIL_RE}'))::BIGINT AS n_email,
+                   len(regexp_extract_all(salted,
+                       '{PII_PHONE_RE}'))::BIGINT AS n_phone,
+                   len(regexp_extract_all(salted,
+                       '{PII_IPV4_RE}'))::BIGINT AS n_ipv4,
+                   {fingerprint_sql('scrubbed')} AS fp_scrubbed,
+                   (NOT (regexp_matches(scrubbed, '{PII_EMAIL_RE}')
+                      OR regexp_matches(scrubbed, '{PII_PHONE_RE}')
+                      OR regexp_matches(scrubbed, '{PII_IPV4_RE}')))
+                       AS clean
+            FROM r
         """,
         "metrics_rollup": """
             SELECT event_type, user_bucket, count(*)::BIGINT AS n,

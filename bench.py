@@ -70,7 +70,11 @@ BENCH_QUERIES = [
     "similarity_pq_topk",
     "dedup_simhash_hamming",
     "dedup_embedding_cosine",
+    "robots_asof_rules",
     "text_stats",
+    "text_repetition_quality",
+    "dedup_segment_exact",
+    "text_pii_scrub",
     "text_lang_quality",
     "text_bpe_tokens",
     "metrics_rollup",
