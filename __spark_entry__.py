@@ -56,6 +56,8 @@ from newsfeeds_crawler_spark.operators.similarity import (
 )
 from newsfeeds_crawler_spark.operators.textquality import (
     DUP_TRIGRAM_CHAR_MAX,
+    MIN_QUALITY,
+    curation_verdict,
     PII_EMAIL_RE,
     PII_IPV4_RE,
     PII_PHONE_RE,
@@ -752,6 +754,13 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(_t(spark, sf_dir, "documents"))
 
 
+def q_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline (operators/textquality.py): repetition +
+    segment-dedup + quality-score rules joined per doc into keep/drop with
+    a precedence-ordered reason code."""
+    return curation_verdict(_t(spark, sf_dir, "documents"))
+
+
 def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-merge BPE tokenizer (operators/bpe.py): merges trained on
     the documents table itself (one word-count aggregate + bounded top-k +
@@ -1216,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_quality": q_text_repetition_quality,
         "dedup_segment_exact": q_dedup_segment_exact,
         "text_pii_scrub": q_text_pii_scrub,
+        "curation_verdict": q_curation_verdict,
         "text_tfidf_topk": q_text_tfidf_topk,
         "text_lang_quality": q_text_lang_quality,
         "text_bpe_tokens": q_text_bpe_tokens,
@@ -1280,6 +1290,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, jaccard FROM (
                 SELECT id_a, id_b, {gjac} AS jaccard FROM cand)
             WHERE jaccard >= 0.2
+        """
+    # shared by text_repetition_quality and curation_verdict
+    repetition_sql = f"""
+            WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks
+                       FROM documents),
+            g AS (
+                SELECT doc_id, 2 AS n,
+                       unnest(CASE WHEN len(toks) >= 2 THEN
+                           list_transform(generate_series(0, len(toks) - 2),
+                               __i -> array_to_string(
+                                   toks[__i + 1 : __i + 2], ' '))
+                           ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM t
+                UNION ALL
+                SELECT doc_id, 3 AS n,
+                       unnest(CASE WHEN len(toks) >= 3 THEN
+                           list_transform(generate_series(0, len(toks) - 3),
+                               __i -> array_to_string(
+                                   toks[__i + 1 : __i + 3], ' '))
+                           ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM t),
+            pg AS (SELECT doc_id, n, gram, count(*) AS cnt
+                   FROM g GROUP BY 1, 2, 3),
+            pn AS (SELECT doc_id, n, max(cnt) AS top_cnt, sum(cnt) AS tot,
+                          sum(cnt * len(gram)) AS tot_chars,
+                          sum(CASE WHEN cnt >= 2 THEN cnt * len(gram)
+                              ELSE 0 END) AS dup_chars
+                   FROM pg GROUP BY 1, 2),
+            pv AS (SELECT doc_id,
+                          max(CASE WHEN n = 2 THEN
+                              round(top_cnt::DOUBLE / tot, 6) END) AS tb,
+                          max(CASE WHEN n = 3 THEN
+                              round(dup_chars::DOUBLE
+                                    / greatest(tot_chars, 1), 6) END) AS dt
+                   FROM pn GROUP BY 1)
+            SELECT doc_id,
+                   coalesce(tb, 0.0) AS top_bigram_frac,
+                   coalesce(dt, 0.0) AS dup_trigram_char_frac,
+                   (coalesce(tb, 0.0) <= {TOP_BIGRAM_MAX}
+                    AND coalesce(dt, 0.0) <= {DUP_TRIGRAM_CHAR_MAX})
+                       AS rep_ok
+            FROM documents LEFT JOIN pv USING (doc_id)
+        """
+    segment_sql = f"""
+            WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks
+                       FROM documents),
+            s AS (SELECT doc_id,
+                         unnest(list_transform(
+                             generate_series(0,
+                                 CAST(ceil(len(toks) / {SEGMENT_WINDOW}.0)
+                                      AS BIGINT) - 1),
+                             __i -> array_to_string(
+                                 toks[__i * {SEGMENT_WINDOW} + 1
+                                      : __i * {SEGMENT_WINDOW}
+                                        + {SEGMENT_WINDOW}], ' '))) AS seg
+                  FROM t),
+            h AS (SELECT doc_id, {fingerprint_sql('seg')} AS sh FROM s),
+            c AS (SELECT sh, count(*) AS occ FROM h GROUP BY 1),
+            p AS (SELECT doc_id, count(*) AS n_segments,
+                         sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS n_dup
+                  FROM h JOIN c USING (sh) GROUP BY 1)
+            SELECT doc_id, n_segments::BIGINT AS n_segments,
+                   n_dup::BIGINT AS n_dup_segments,
+                   round(n_dup::DOUBLE / n_segments, 6) AS dup_ratio,
+                   (round(n_dup::DOUBLE / n_segments, 6)
+                    < {SEGMENT_DUP_MAX}) AS keep
+            FROM p
         """
     simhash_votes = ", ".join(
         f"sum(((h // {2**b}) % 2) * 2 - 1) AS v{b}" for b in range(SIMHASH_BITS)
@@ -1726,71 +1803,21 @@ def oracle_sql() -> dict[str, str]:
                    round({_sw_ratio_sql(STOPWORDS_EN)}, 6) AS stop_ratio
             FROM documents
         """,
-        "text_repetition_quality": f"""
-            WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks
-                       FROM documents),
-            g AS (
-                SELECT doc_id, 2 AS n,
-                       unnest(CASE WHEN len(toks) >= 2 THEN
-                           list_transform(generate_series(0, len(toks) - 2),
-                               __i -> array_to_string(
-                                   toks[__i + 1 : __i + 2], ' '))
-                           ELSE CAST([] AS VARCHAR[]) END) AS gram
-                FROM t
-                UNION ALL
-                SELECT doc_id, 3 AS n,
-                       unnest(CASE WHEN len(toks) >= 3 THEN
-                           list_transform(generate_series(0, len(toks) - 3),
-                               __i -> array_to_string(
-                                   toks[__i + 1 : __i + 3], ' '))
-                           ELSE CAST([] AS VARCHAR[]) END) AS gram
-                FROM t),
-            pg AS (SELECT doc_id, n, gram, count(*) AS cnt
-                   FROM g GROUP BY 1, 2, 3),
-            pn AS (SELECT doc_id, n, max(cnt) AS top_cnt, sum(cnt) AS tot,
-                          sum(cnt * len(gram)) AS tot_chars,
-                          sum(CASE WHEN cnt >= 2 THEN cnt * len(gram)
-                              ELSE 0 END) AS dup_chars
-                   FROM pg GROUP BY 1, 2),
-            pv AS (SELECT doc_id,
-                          max(CASE WHEN n = 2 THEN
-                              round(top_cnt::DOUBLE / tot, 6) END) AS tb,
-                          max(CASE WHEN n = 3 THEN
-                              round(dup_chars::DOUBLE
-                                    / greatest(tot_chars, 1), 6) END) AS dt
-                   FROM pn GROUP BY 1)
-            SELECT doc_id,
-                   coalesce(tb, 0.0) AS top_bigram_frac,
-                   coalesce(dt, 0.0) AS dup_trigram_char_frac,
-                   (coalesce(tb, 0.0) <= {TOP_BIGRAM_MAX}
-                    AND coalesce(dt, 0.0) <= {DUP_TRIGRAM_CHAR_MAX})
-                       AS rep_ok
-            FROM documents LEFT JOIN pv USING (doc_id)
-        """,
-        "dedup_segment_exact": f"""
-            WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks
-                       FROM documents),
-            s AS (SELECT doc_id,
-                         unnest(list_transform(
-                             generate_series(0,
-                                 CAST(ceil(len(toks) / {SEGMENT_WINDOW}.0)
-                                      AS BIGINT) - 1),
-                             __i -> array_to_string(
-                                 toks[__i * {SEGMENT_WINDOW} + 1
-                                      : __i * {SEGMENT_WINDOW}
-                                        + {SEGMENT_WINDOW}], ' '))) AS seg
-                  FROM t),
-            h AS (SELECT doc_id, {fingerprint_sql('seg')} AS sh FROM s),
-            c AS (SELECT sh, count(*) AS occ FROM h GROUP BY 1),
-            p AS (SELECT doc_id, count(*) AS n_segments,
-                         sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS n_dup
-                  FROM h JOIN c USING (sh) GROUP BY 1)
-            SELECT doc_id, n_segments::BIGINT AS n_segments,
-                   n_dup::BIGINT AS n_dup_segments,
-                   round(n_dup::DOUBLE / n_segments, 6) AS dup_ratio,
-                   (round(n_dup::DOUBLE / n_segments, 6)
-                    < {SEGMENT_DUP_MAX}) AS keep
-            FROM p
+        "text_repetition_quality": repetition_sql,
+        "dedup_segment_exact": segment_sql,
+        "curation_verdict": f"""
+            WITH rep AS ({repetition_sql}),
+            seg AS ({segment_sql}),
+            q AS (SELECT doc_id, {_quality_sql()} AS quality
+                  FROM documents)
+            SELECT doc_id, quality, rep_ok, seg.keep AS seg_keep,
+                   (CASE WHEN NOT rep_ok THEN 'repetition'
+                         WHEN NOT seg.keep THEN 'dup_segments'
+                         WHEN quality < {MIN_QUALITY} THEN 'low_quality'
+                         ELSE 'ok' END) AS reason,
+                   (rep_ok AND seg.keep AND quality >= {MIN_QUALITY})
+                       AS keep
+            FROM q JOIN rep USING (doc_id) JOIN seg USING (doc_id)
         """,
         "text_pii_scrub": f"""
             WITH s AS (

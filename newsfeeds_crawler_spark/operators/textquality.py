@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from newsfeeds_crawler_spark.functions.text import (
     fingerprint64_arrow,
+    quality_score,
     _TOKEN_SPLIT,
 )
 
@@ -293,4 +294,53 @@ def pii_scrub(
         n_ipv4.alias("n_ipv4"),
         fingerprint64_arrow(scrubbed).alias("fp_scrubbed"),
         clean.alias("clean"),
+    )
+
+
+# -------------------------------------------------------- pipeline verdict
+
+MIN_QUALITY = 0.3
+
+
+def curation_verdict(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = MIN_QUALITY,
+) -> DataFrame:
+    """One keep/drop verdict per document — the composed shape an actual
+    curation run executes over a crawl snapshot: repetition filters,
+    cross-document segment dedup, and the heuristic quality score, joined
+    on doc_id with a deterministic reason code (first failing rule in a
+    fixed precedence: repetition → dup_segments → low_quality → ok).
+
+    Shape: both aggregate operators end in a hash aggregate keyed on
+    doc_id, so the verdict joins align with partitioning the operators
+    already produced; the quality column is a map-only projection on the
+    doc side. ``keep`` = all three rules pass.
+    """
+    did = F.col(id_col)
+    rep = repetition_stats(docs, id_col, text_col).select(id_col, "rep_ok")
+    seg = segment_dedup(docs, id_col, text_col).select(
+        id_col, F.col("keep").alias("seg_keep")
+    )
+    base = docs.select(did, quality_score(F.col(text_col)).alias("quality"))
+    j = base.join(rep, id_col).join(seg, id_col)
+    reason = (
+        F.when(~F.col("rep_ok"), F.lit("repetition"))
+        .when(~F.col("seg_keep"), F.lit("dup_segments"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(
+        id_col,
+        "quality",
+        "rep_ok",
+        "seg_keep",
+        reason.alias("reason"),
+        (
+            F.col("rep_ok")
+            & F.col("seg_keep")
+            & (F.col("quality") >= min_quality)
+        ).alias("keep"),
     )

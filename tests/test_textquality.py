@@ -9,6 +9,7 @@ import duckdb
 import pytest
 
 from newsfeeds_crawler_spark.operators.textquality import (
+    curation_verdict,
     pii_scrub,
     repetition_stats,
     segment_dedup,
@@ -80,8 +81,28 @@ def test_pii_scrub_counts_and_clean(spark):
     assert rows[105].fp_scrubbed != fp  # placeholders changed the bytes
 
 
+def test_curation_verdict_reason_precedence(spark):
+    # doc 1 fails repetition AND (via self-duplicated windows) segments:
+    # repetition must win the reason by precedence; doc 0 passes all rules
+    docs = spark.createDataFrame(
+        [(0, UNIQ + " the a and of to in is it that for"), (1, LOOP)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in curation_verdict(docs).collect()}
+    assert rows[1].reason == "repetition" and not rows[1].keep
+    assert rows[0].rep_ok and rows[0].seg_keep
+    assert rows[0].keep == (rows[0].quality >= 0.3)
+    assert rows[0].reason in ("ok", "low_quality")
+
+
 @pytest.mark.parametrize(
-    "gate", ["text_repetition_quality", "dedup_segment_exact", "text_pii_scrub"]
+    "gate",
+    [
+        "text_repetition_quality",
+        "dedup_segment_exact",
+        "text_pii_scrub",
+        "curation_verdict",
+    ],
 )
 def test_gate_matches_duckdb_oracle(spark, sf_dir, gate):
     import sys
