@@ -54,6 +54,27 @@ from newsfeeds_crawler_spark.operators.similarity import (
     embedding_cosine_pairs,
     ivf_topk,
 )
+from newsfeeds_crawler_spark.operators.curation import (
+    BAND_HIGH_MIN,
+    BAND_MID_MIN,
+    BENCH_MOD,
+    BIGRAM_KEEP_MIN,
+    CANARY,
+    CANARY_MOD,
+    DECONTAM_N,
+    LOGP_QUANT,
+    MIX_QUANT,
+    MIX_TEMPERATURE,
+    SAMPLE_BUCKETS,
+    SAMPLE_RATE_HIGH,
+    SAMPLE_RATE_LOW,
+    SAMPLE_RATE_MID,
+    SAMPLE_SALT,
+    bigram_lm_score,
+    decontaminate,
+    mixture_weights,
+    sample_stratified,
+)
 from newsfeeds_crawler_spark.operators.textquality import (
     DUP_TRIGRAM_CHAR_MAX,
     MIN_QUALITY,
@@ -761,6 +782,40 @@ def q_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_verdict(_t(spark, sf_dir, "documents"))
 
 
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style benchmark decontamination (operators/curation.py): the
+    doc_id % 37 slice is the benchmark set; training docs are flagged when
+    any distinct 5-gram also occurs in the benchmark slice. A canary
+    phrase is planted on both sides (arithmetic on doc_id) so the gate
+    verifies real hits. Benchmark grams broadcast; the corpus side never
+    shuffles."""
+    return decontaminate(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-stratified sampling (operators/curation.py):
+    quality bands map to integer keep-thresholds over the portable
+    fingerprint of 'sample#'||doc_id — identical keep set on any cluster
+    size, partitioning, or engine. Map-only projection."""
+    return sample_stratified(_t(spark, sf_dir, "documents"))
+
+
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained add-one-smoothed bigram LM scoring (CCNet-style
+    perplexity ranking, operators/curation.py): per-gram log-probs
+    quantized to integer micro-nats before the per-doc sum, so doc scores
+    are exact order-independent int64 sums; only the final average
+    divides."""
+    return bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights (operators/curation.py):
+    w_s ∝ tokens_s^0.7 normalized over sources, with raw weights
+    quantized to micro-units so the normalizing sum is exact int64."""
+    return mixture_weights(_t(spark, sf_dir, "documents"))
+
+
 def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-merge BPE tokenizer (operators/bpe.py): merges trained on
     the documents table itself (one word-count aggregate + bounded top-k +
@@ -1226,6 +1281,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_segment_exact": q_dedup_segment_exact,
         "text_pii_scrub": q_text_pii_scrub,
         "curation_verdict": q_curation_verdict,
+        "text_decontaminate": q_text_decontaminate,
+        "corpus_sample": q_corpus_sample,
+        "text_bigram_lm": q_text_bigram_lm,
+        "corpus_mixture_weights": q_corpus_mixture_weights,
         "text_tfidf_topk": q_text_tfidf_topk,
         "text_lang_quality": q_text_lang_quality,
         "text_bpe_tokens": q_text_bpe_tokens,
@@ -1854,6 +1913,108 @@ def oracle_sql() -> dict[str, str]:
                       OR regexp_matches(scrubbed, '{PII_IPV4_RE}')))
                        AS clean
             FROM r
+        """,
+        "text_decontaminate": f"""
+            WITH s AS (SELECT doc_id, (doc_id % {BENCH_MOD} = 0) AS is_bench,
+                              text || (CASE WHEN doc_id % {BENCH_MOD} = 0
+                                              OR doc_id % {CANARY_MOD} = 0
+                                       THEN '{CANARY}' ELSE '' END) AS salted
+                       FROM documents),
+            t AS (SELECT doc_id, is_bench, {tokens_sql('salted')} AS toks
+                  FROM s),
+            g AS (SELECT doc_id, is_bench,
+                         CASE WHEN len(toks) >= {DECONTAM_N} THEN
+                             list_distinct(list_transform(
+                                 generate_series(0, len(toks) - {DECONTAM_N}),
+                                 __i -> array_to_string(
+                                     toks[__i + 1 : __i + {DECONTAM_N}], ' ')))
+                         ELSE CAST([] AS VARCHAR[]) END AS grams
+                  FROM t),
+            bg AS (SELECT DISTINCT {fingerprint_sql('gram')} AS gh
+                   FROM (SELECT unnest(grams) AS gram FROM g WHERE is_bench)),
+            tg AS (SELECT doc_id, {fingerprint_sql('gram')} AS gh
+                   FROM (SELECT doc_id, unnest(grams) AS gram
+                         FROM g WHERE NOT is_bench)),
+            ov AS (SELECT doc_id, count(*)::BIGINT AS n_overlap
+                   FROM tg JOIN bg USING (gh) GROUP BY 1)
+            SELECT g.doc_id, len(grams)::BIGINT AS n_grams,
+                   coalesce(n_overlap, 0)::BIGINT AS n_overlap,
+                   coalesce(n_overlap, 0) > 0 AS contaminated
+            FROM g LEFT JOIN ov ON g.doc_id = ov.doc_id
+            WHERE NOT is_bench
+        """,
+        "corpus_sample": f"""
+            WITH b AS (SELECT doc_id,
+                          (CASE WHEN {_quality_sql()} >= {BAND_HIGH_MIN}
+                                THEN 'high'
+                                WHEN {_quality_sql()} >= {BAND_MID_MIN}
+                                THEN 'mid'
+                                ELSE 'low' END) AS band,
+                          ({fingerprint_sql(
+                              "'" + SAMPLE_SALT + "' || doc_id::VARCHAR")}
+                           % {SAMPLE_BUCKETS})::BIGINT AS bucket
+                       FROM documents)
+            SELECT doc_id, band, bucket,
+                   (bucket < CASE WHEN band = 'high' THEN {SAMPLE_RATE_HIGH}
+                                  WHEN band = 'mid' THEN {SAMPLE_RATE_MID}
+                                  ELSE {SAMPLE_RATE_LOW} END) AS kept
+            FROM b
+        """,
+        "text_bigram_lm": f"""
+            WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks
+                       FROM documents),
+            uni AS (SELECT w, count(*)::BIGINT AS c1
+                    FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+            v AS (SELECT count(*)::BIGINT AS nv FROM uni),
+            occ AS (SELECT doc_id, gram, count(*)::BIGINT AS c_doc
+                    FROM (SELECT doc_id,
+                                 unnest(CASE WHEN len(toks) >= 2 THEN
+                                     list_transform(
+                                         generate_series(0, len(toks) - 2),
+                                         __i -> array_to_string(
+                                             toks[__i + 1 : __i + 2], ' '))
+                                 ELSE CAST([] AS VARCHAR[]) END) AS gram
+                          FROM t)
+                    GROUP BY 1, 2),
+            c2 AS (SELECT gram, sum(c_doc)::BIGINT AS cg FROM occ GROUP BY 1),
+            gl AS (SELECT gram,
+                          round(ln((cg + 1)::DOUBLE / (c1 + nv)::DOUBLE)
+                                * {LOGP_QUANT}, 0)::BIGINT AS logp_q
+                   FROM c2 JOIN uni ON split_part(c2.gram, ' ', 1) = uni.w
+                   CROSS JOIN v),
+            pd AS (SELECT doc_id, sum(c_doc)::BIGINT AS n_bigrams,
+                          sum(c_doc * logp_q)::BIGINT AS sum_logp_q
+                   FROM occ JOIN gl USING (gram) GROUP BY 1),
+            r AS (SELECT d.doc_id,
+                         coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+                         coalesce(sum_logp_q, 0)::BIGINT AS sum_logp_q
+                  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id)
+            SELECT doc_id, n_bigrams, sum_logp_q,
+                   (CASE WHEN n_bigrams > 0 THEN
+                       round(sum_logp_q::DOUBLE / n_bigrams / {LOGP_QUANT}, 6)
+                    ELSE 0.0 END) AS avg_logprob,
+                   (n_bigrams > 0 AND
+                    (CASE WHEN n_bigrams > 0 THEN
+                        round(sum_logp_q::DOUBLE / n_bigrams
+                              / {LOGP_QUANT}, 6)
+                     ELSE 0.0 END) >= {BIGRAM_KEEP_MIN}) AS lm_keep
+            FROM r
+        """,
+        "corpus_mixture_weights": f"""
+            WITH s AS (SELECT source, count(*)::BIGINT AS n_docs,
+                              sum(CASE WHEN trim(text) = '' THEN 0
+                                  ELSE len(string_split_regex(trim(text),
+                                           '\\s+'))
+                                  END)::BIGINT AS n_tokens
+                       FROM documents GROUP BY 1),
+            w AS (SELECT source, n_docs, n_tokens,
+                         round(pow(n_tokens::DOUBLE, {MIX_TEMPERATURE})
+                               * {MIX_QUANT}, 0)::BIGINT AS w_q
+                  FROM s),
+            t AS (SELECT sum(w_q)::BIGINT AS w_tot FROM w)
+            SELECT source, n_docs, n_tokens,
+                   round(w_q::DOUBLE / w_tot, 6) AS weight
+            FROM w CROSS JOIN t
         """,
         "metrics_rollup": """
             SELECT event_type, user_bucket, count(*)::BIGINT AS n,

@@ -75,6 +75,10 @@ BENCH_QUERIES = [
     "text_repetition_quality",
     "dedup_segment_exact",
     "text_pii_scrub",
+    "text_decontaminate",
+    "corpus_sample",
+    "text_bigram_lm",
+    "corpus_mixture_weights",
     "text_lang_quality",
     "text_bpe_tokens",
     "metrics_rollup",
