@@ -707,6 +707,28 @@ def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (operators/similarity.ivfpq_topk): coarse
+    inverted lists (centroids = vec_id % 50 == 0, multi-probe n_probe=2)
+    with PQ codes inside each list (codebook = vec_id % 25 == 0, 64-dim in
+    8 subspaces) — the FAISS-IVFPQ layout, searched through codes only.
+    Exact DuckDB mirror (same assignment, same rounded subspace L2², same
+    j-ordered ADC fold), so the gate is hash-checked."""
+    from newsfeeds_crawler_spark.operators.similarity import ivfpq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        e,
+        e.filter(F.col("vec_id") < 8),
+        e.filter(F.col("vec_id") % 50 == 0),
+        e.filter(F.col("vec_id") % 25 == 0),
+        dim=64,
+        n_sub=8,
+        k=5,
+        n_probe=2,
+    )
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, IVF-cell blocked (sim >= 0.3)."""
     e = _t(spark, sf_dir, "embeddings")
@@ -1275,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "similarity_pq_topk": q_similarity_pq_topk,
         "similarity_ivf_multiprobe": q_similarity_ivf_multiprobe,
+        "similarity_ivfpq_topk": q_similarity_ivfpq_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_stats": q_text_stats,
         "text_repetition_quality": q_text_repetition_quality,
@@ -1787,6 +1810,55 @@ def oracle_sql() -> dict[str, str]:
                    rank::INT AS rank
             FROM (SELECT *, row_number() OVER (
                       PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM s)
+            WHERE rank <= 5
+        """,
+        "similarity_ivfpq_topk": f"""
+            WITH cent AS (SELECT vec_id AS cell, embedding AS c_vec
+                          FROM embeddings WHERE vec_id % 50 = 0),
+            cb AS (SELECT vec_id AS cw, embedding AS c_vec
+                   FROM embeddings WHERE vec_id % 25 = 0),
+            v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+            asg AS (
+                SELECT id, cell FROM (
+                    SELECT id, cell, row_number() OVER (
+                        PARTITION BY id
+                        ORDER BY round({ccos}, 8) DESC, cell) AS rn
+                    FROM v, cent)
+                WHERE rn = 1),
+            qasg AS (
+                SELECT id AS q_id, cell FROM (
+                    SELECT id, cell, row_number() OVER (
+                        PARTITION BY id
+                        ORDER BY round({ccos}, 8) DESC, cell) AS rn
+                    FROM v, cent)
+                WHERE rn <= 2 AND id < 8),
+            subs AS (SELECT j FROM range(8) t(j)),
+            cd AS (SELECT id, j, cw, {_pq_l2('vec', 'c_vec')} AS d
+                   FROM v, cb, subs),
+            enc AS (SELECT id, j, cw FROM (
+                        SELECT id, j, cw, row_number() OVER (
+                            PARTITION BY id, j ORDER BY d, cw) AS rn
+                        FROM cd)
+                    WHERE rn = 1),
+            q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                  FROM embeddings WHERE vec_id < 8),
+            lut AS (SELECT q_id, j, cw, {_pq_l2('q_vec', 'c_vec')} AS d
+                    FROM q, cb, subs),
+            cand AS (SELECT DISTINCT qa.q_id, a.id AS n_id
+                     FROM asg a JOIN qasg qa USING (cell)
+                     WHERE a.id <> qa.q_id),
+            s AS (SELECT c.q_id, c.n_id,
+                         round(list_reduce(
+                             list_prepend(0.0::DOUBLE, list(l.d ORDER BY l.j)),
+                             (__a, __p) -> __a + __p), 8) AS adc
+                  FROM cand c
+                  JOIN enc e ON e.id = c.n_id
+                  JOIN lut l ON l.q_id = c.q_id AND l.j = e.j AND l.cw = e.cw
+                  GROUP BY c.q_id, c.n_id)
+            SELECT q_id::BIGINT AS q_id, n_id::BIGINT AS n_id, adc,
+                   rank::INT AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY q_id ORDER BY adc, n_id) AS rank FROM s)
             WHERE rank <= 5
         """,
         "dedup_embedding_cosine": f"""

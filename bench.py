@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "similarity_ivf_topk",
     "similarity_ivf_multiprobe",
     "similarity_pq_topk",
+    "similarity_ivfpq_topk",
     "dedup_simhash_hamming",
     "dedup_embedding_cosine",
     "robots_asof_rules",

@@ -437,6 +437,110 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    n_sub: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+    impl: str = "arrow",
+) -> DataFrame:
+    """IVF-PQ: the composed billion-vector path (Jégou et al. 2011 §V —
+    coarse inverted lists + PQ codes inside each list; the layout FAISS
+    calls IVFPQ). The corpus is stored as (cell, codes) only — ``n_sub``
+    small ints per vector, floats dropped after the build — and a query
+    touches just its ``n_probe`` nearest cells, scoring candidates by PQ
+    asymmetric distance against a broadcast per-query lookup table.
+
+    Shapes at scale: assignment + encode are build-time, map-only
+    (broadcast centroids/codebook); at query time the candidate set is
+    |n_probe × cell| per query, never |corpus|, and the only corpus-side
+    data touched are the code rows of the probed cells — at a real
+    deployment the (cell, codes) table is bucketed by cell so the probe
+    is a partition-pruned scan. ADC sums fold in subspace order and
+    round at 8 dp (bit-stable, DuckDB-mirrorable). Output: (q_id, n_id,
+    adc, rank), rank 1..k ascending distance, tie-break n_id; the query
+    row itself is excluded. Multi-probe duplicates (a candidate reached
+    through two probed cells) are collapsed BEFORE the code explode so
+    the ADC never double-counts.
+    """
+    d_sub = dim // n_sub
+    assigned = assign_cells(corpus, centroids, id_col, vec_col)
+    enc = pq_encode(corpus, codebook, dim, n_sub, id_col, vec_col, impl)
+    coded = enc.join(assigned.select("id", "cell"), "id")
+
+    q_cells = assign_cells(
+        queries, centroids, id_col, vec_col, top_n=n_probe
+    ).select(F.col("id").alias("q_id"), "cell")
+
+    cw = F.broadcast(
+        codebook.select(
+            F.col(id_col).alias("cw"), F.col(vec_col).alias("c_vec")
+        )
+    )
+    subs_q = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.round(
+                    _l2sq(
+                        F.slice(F.col("q_vec"), j * d_sub + 1, d_sub),
+                        F.slice(F.col("c_vec"), j * d_sub + 1, d_sub),
+                    ),
+                    8,
+                ).alias("d"),
+            )
+            for j in range(n_sub)
+        ]
+    )
+    lut = (
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+        .crossJoin(cw)
+        .select("q_id", F.col("cw"), F.explode(subs_q).alias("s"))
+        .select("q_id", "cw", F.col("s.j").alias("j"), F.col("s.d").alias("d"))
+    )
+
+    cand = (
+        coded.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("id") != F.col("q_id"))
+        .select("q_id", "id", "codes")
+    )
+    if n_probe > 1:
+        cand = cand.dropDuplicates(["q_id", "id"])
+    code_rows = cand.select("q_id", "id", F.posexplode("codes").alias("j", "cw"))
+    per_j = [
+        F.max(F.when(F.col("j") == j, F.col("d"))).alias(f"_d{j}")
+        for j in range(n_sub)
+    ]
+    total = F.col("_d0")
+    for j in range(1, n_sub):
+        total = total + F.col(f"_d{j}")
+    adc = (
+        code_rows.join(F.broadcast(lut), ["q_id", "j", "cw"])
+        .groupBy("q_id", "id")
+        .agg(*per_j)
+        .select("q_id", "id", F.round(total, 8).alias("adc"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").cast("bigint"),
+            F.col("id").cast("bigint").alias("n_id"),
+            "adc",
+            F.col("rank").cast("int"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

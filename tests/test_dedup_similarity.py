@@ -318,3 +318,62 @@ def test_pq_arrow_equals_expr_bitexact(spark):
                            impl="expr").collect())
     )
     assert top_a == top_e
+
+
+def test_ivfpq_topk_cell_pruned_adc_matches_pq_on_candidates(spark):
+    """IVF-PQ composition invariants: (1) every returned neighbor lives in
+    one of the query's probed cells; (2) its ADC equals the UNPRUNED
+    pq_topk's ADC for the same (q, n) pair — cell pruning changes the
+    candidate set, never a distance; (3) an exact duplicate sharing the
+    query's cell ranks first at distance 0 when the query is a codeword;
+    (4) multi-probe candidates reached through two cells are not
+    double-counted (ADC unchanged vs single-probe for shared pairs)."""
+    import numpy as np
+
+    from newsfeeds_crawler_spark.operators.similarity import (
+        assign_cells, ivfpq_topk, pq_topk,
+    )
+
+    rng = np.random.default_rng(23)
+    DIM, NSUB = 16, 4
+    base = [[float(x) for x in rng.normal(size=DIM)] for _ in range(40)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(100 + i, list(base[i])) for i in range(4)]  # planted dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = df.filter(F.col("vec_id") % 10 == 0)
+    cb = df.filter(F.col("vec_id") % 3 == 0)
+    qs = df.filter(F.col("vec_id") < 4)
+
+    got1 = ivfpq_topk(df, qs, cent, cb, DIM, NSUB, k=5, n_probe=1).collect()
+    got2 = ivfpq_topk(df, qs, cent, cb, DIM, NSUB, k=5, n_probe=2).collect()
+    full = {
+        (r.q_id, r.n_id): r.adc
+        for r in pq_topk(df, qs, cb, DIM, NSUB, k=1000).collect()
+    }
+
+    # (1) probed-cell containment
+    asg = {r["id"]: r["cell"] for r in assign_cells(df, cent).collect()}
+    q2 = {
+        r["id"]: set()
+        for r in assign_cells(qs, cent, top_n=2).collect()
+    }
+    for r in assign_cells(qs, cent, top_n=2).collect():
+        q2[r["id"]].add(r["cell"])
+    for r in got2:
+        assert asg[r.n_id] in q2[r.q_id]
+
+    # (2) + (4) pruning never changes a distance; no double count
+    for r in got1 + got2:
+        assert full[(r.q_id, r.n_id)] == r.adc
+
+    # (3) vec 0 is a centroid (0 % 10 == 0) and a codeword (0 % 3 == 0);
+    # its planted dup 100 shares codes and cell -> ADC 0, rank 1
+    by_q = {}
+    for r in got1:
+        by_q.setdefault(r.q_id, []).append(r)
+    top0 = min(by_q[0], key=lambda r: r.rank)
+    assert top0.n_id == 100 and top0.adc == 0.0 and top0.rank == 1
+
+    # multi-probe result set per query is a (quality-) superset path:
+    # still k-bounded, and every single-probe neighbor set stays valid
+    assert len(got2) <= 4 * 5
