@@ -804,6 +804,22 @@ def q_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_verdict(_t(spark, sf_dir, "documents"))
 
 
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer PageRank (operators/linkgraph.py) over a
+    deterministic host link graph derived from events (src = user_id mod
+    997, dst = event_id mod 997): host-authority crawl priority whose
+    int64 rank units are exact and order-independent, so the 3-iteration
+    fixpoint hash-matches DuckDB's unrolled-CTE mirror."""
+    from newsfeeds_crawler_spark.operators.linkgraph import pagerank_iter
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 997).alias("src"),
+        (F.col("event_id") % 997).alias("dst"),
+    )
+    return pagerank_iter(edges, iters=3)
+
+
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3-style benchmark decontamination (operators/curation.py): the
     doc_id % 37 slice is the benchmark set; training docs are flagged when
@@ -1304,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_segment_exact": q_dedup_segment_exact,
         "text_pii_scrub": q_text_pii_scrub,
         "curation_verdict": q_curation_verdict,
+        "link_pagerank": q_link_pagerank,
         "text_decontaminate": q_text_decontaminate,
         "corpus_sample": q_corpus_sample,
         "text_bigram_lm": q_text_bigram_lm,
@@ -1985,6 +2002,36 @@ def oracle_sql() -> dict[str, str]:
                       OR regexp_matches(scrubbed, '{PII_IPV4_RE}')))
                        AS clean
             FROM r
+        """,
+        "link_pagerank": """
+            WITH e AS (SELECT DISTINCT (user_id % 997)::BIGINT AS src,
+                              (event_id % 997)::BIGINT AS dst FROM events),
+            n AS (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM e
+                   UNION ALL SELECT dst AS node FROM e)),
+            od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+            r0 AS (SELECT node, 1000000000000::BIGINT AS rank_q FROM n),
+            c1 AS (SELECT dst AS node, sum(rank_q // outdeg)::BIGINT AS s
+                   FROM e JOIN r0 ON e.src = r0.node JOIN od USING (src)
+                   GROUP BY 1),
+            r1 AS (SELECT n.node, (150000000000
+                       + (85 * coalesce(s, 0)) // 100)::BIGINT AS rank_q
+                   FROM n LEFT JOIN c1 USING (node)),
+            c2 AS (SELECT dst AS node, sum(rank_q // outdeg)::BIGINT AS s
+                   FROM e JOIN r1 ON e.src = r1.node JOIN od USING (src)
+                   GROUP BY 1),
+            r2 AS (SELECT n.node, (150000000000
+                       + (85 * coalesce(s, 0)) // 100)::BIGINT AS rank_q
+                   FROM n LEFT JOIN c2 USING (node)),
+            c3 AS (SELECT dst AS node, sum(rank_q // outdeg)::BIGINT AS s
+                   FROM e JOIN r2 ON e.src = r2.node JOIN od USING (src)
+                   GROUP BY 1),
+            r3 AS (SELECT n.node, (150000000000
+                       + (85 * coalesce(s, 0)) // 100)::BIGINT AS rank_q
+                   FROM n LEFT JOIN c3 USING (node))
+            SELECT node, rank_q,
+                   round(rank_q::DOUBLE / 1000000000000, 6) AS rank
+            FROM r3
         """,
         "text_decontaminate": f"""
             WITH s AS (SELECT doc_id, (doc_id % {BENCH_MOD} = 0) AS is_bench,

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "dedup_simhash_hamming",
     "dedup_embedding_cosine",
     "robots_asof_rules",
+    "link_pagerank",
     "text_stats",
     "text_repetition_quality",
     "dedup_segment_exact",
