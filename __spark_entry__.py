@@ -804,6 +804,16 @@ def q_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_verdict(_t(spark, sf_dir, "documents"))
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/sessionize.py): 30-minute
+    inter-event gaps split each user's event stream into sessions —
+    integer-microsecond gaps and a cumulative int session id, so the
+    segmentation is exact and hash-checked."""
+    from newsfeeds_crawler_spark.operators.sessionize import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration integer PageRank (operators/linkgraph.py) over a
     deterministic host link graph derived from events (src = user_id mod
@@ -1320,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_segment_exact": q_dedup_segment_exact,
         "text_pii_scrub": q_text_pii_scrub,
         "curation_verdict": q_curation_verdict,
+        "events_sessionize": q_events_sessionize,
         "link_pagerank": q_link_pagerank,
         "text_decontaminate": q_text_decontaminate,
         "corpus_sample": q_corpus_sample,
@@ -2002,6 +2013,26 @@ def oracle_sql() -> dict[str, str]:
                       OR regexp_matches(scrubbed, '{PII_IPV4_RE}')))
                        AS clean
             FROM r
+        """,
+        "events_sessionize": """
+            WITH b AS (SELECT user_id, event_id,
+                              epoch_us(ts)::BIGINT AS ts_us FROM events),
+            o AS (SELECT user_id, event_id, ts_us,
+                         CASE WHEN lag(ts_us) OVER w IS NULL
+                                OR ts_us - lag(ts_us) OVER w > 1800000000
+                              THEN 1 ELSE 0 END AS ns
+                  FROM b
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+            s AS (SELECT user_id, ts_us,
+                         sum(ns) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o)
+            SELECT user_id, sid::BIGINT AS session_id,
+                   count(*)::BIGINT AS n_events,
+                   min(ts_us) AS start_us, max(ts_us) AS end_us,
+                   (max(ts_us) - min(ts_us))::BIGINT AS duration_us
+            FROM s GROUP BY 1, 2
         """,
         "link_pagerank": """
             WITH e AS (SELECT DISTINCT (user_id % 997)::BIGINT AS src,

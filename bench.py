@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "robots_asof_rules",
     "link_pagerank",
+    "events_sessionize",
     "text_stats",
     "text_repetition_quality",
     "dedup_segment_exact",
