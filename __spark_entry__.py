@@ -1295,6 +1295,160 @@ def q_caption_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").cast("long"), "consistency")
 
 
+def q_caption_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical caption per near-dup image cluster (operators/captions):
+    LAION/DataComp-style consolidation of a crawled (image, caption)
+    corpus. Each document becomes a pair with a deterministic phash whose
+    high bits encode the cluster (doc_id % 97) and whose 2 low bits vary
+    within it; ``phash div 256`` pools the near-dups and one hash
+    aggregate picks the canonical pair (longest caption, ties by caption
+    then image_id) plus contest stats. DuckDB mirrors the max-struct rule
+    with a row_number window."""
+    from newsfeeds_crawler_spark.operators.captions import caption_consolidate
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.concat(F.lit("img"), F.col("doc_id").cast("string")).alias(
+            "image_id"
+        ),
+        ((F.col("doc_id") % 97) * 256 + F.col("doc_id") % 13)
+        .cast("long")
+        .alias("phash"),
+        F.substring(
+            F.col("text"), 1, (F.lit(10) + F.col("doc_id") % 41).cast("int")
+        ).alias("caption"),
+    )
+    return caption_consolidate(pairs, F.expr("phash div 256"))
+
+
+def q_similarity_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized Lloyd's k-means (operators/kmeans.py): trains the
+    coarse centroids the IVF/IVF-PQ indexes consume (k=8, 2 iterations,
+    seeds = the 8 lowest vec_id % 50 == 0 vectors). Components quantized
+    once to 1/10^6 units; distances and centroid means are exact int64
+    sums / truncating divisions, so the trained centroids are
+    bit-identical on any engine or partitioning and the oracle unrolls
+    the same two iterations as CTEs."""
+    from newsfeeds_crawler_spark.operators.kmeans import kmeans_train
+
+    return kmeans_train(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=2, stride=50
+    ).select(
+        F.col("cell").cast("int"),
+        F.col("pos").cast("int"),
+        "c_q",
+        "n_members",
+    )
+
+
+def q_frontier_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-URL cardinality (operators/sketches.py): the
+    mergeable per-epoch "distinct canonical URLs seen" sketch a 10^10-URL
+    frontier reports instead of COUNT(DISTINCT). Registers (m=256, max-rho
+    per bucket over the portable fingerprint) AND the integer-division
+    estimate are both engine-exact; rel_err_pct shows the estimator's
+    quality against the exact distinct on the same rows."""
+    from newsfeeds_crawler_spark.operators.sketches import hll_cardinality
+
+    ev = _t(spark, sf_dir, "events")
+    key = F.concat(
+        F.lit("https://h"),
+        (F.col("user_id") % 25).cast("string"),
+        F.lit(".example.com/e/"),
+        (F.col("event_id") % 4096).cast("string"),
+    )
+    return hll_cardinality(ev, key)
+
+
+def q_link_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS crawl-depth labels (operators/linkgraph.py) over
+    the same 997-node host graph as link_pagerank, seeds = src hosts
+    divisible by 100: min link-distance within 3 hops — the depth CLASS
+    the per-depth quota budgets key on. Pure integer mins ⇒ exact; the
+    oracle unrolls the 3 relaxation rounds."""
+    from newsfeeds_crawler_spark.operators.linkgraph import bfs_depth
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 997).alias("src"),
+        (F.col("event_id") % 997).alias("dst"),
+    )
+    seeds = edges.select(F.col("src").alias("node")).filter(
+        F.col("node") % 100 == 0
+    )
+    return bfs_depth(edges, seeds, iters=3)
+
+
+def q_frontier_hot_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch hot-host detection (operators/sketches.py): the
+    frequency twin of frontier_distinct_hll — per-host event counts
+    estimated from a d=4 × 2048-cell sketch that merges across epochs by
+    ADDITION, vs a planted 75%-on-20-hosts skew. For every distinct host:
+    exact count, CMS estimate, and the one-sided overcount (est ≥ exact
+    always — the CMS guarantee, hash-pinned via the ok column). Both the
+    registers and the estimates are engine-exact integers."""
+    from newsfeeds_crawler_spark.operators.sketches import (
+        cms_counts,
+        cms_lookup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    host = F.concat(
+        F.lit("h"),
+        F.when(
+            F.col("event_id") % 4 < 3, F.col("user_id") % 20
+        ).otherwise(F.lit(20) + F.col("user_id") % 2000).cast("string"),
+    )
+    keyed = ev.select(host.alias("host"))
+    sketch = cms_counts(keyed, F.col("host"))
+    exact = keyed.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    est = cms_lookup(keyed, sketch, F.col("host")).withColumnRenamed(
+        "k", "host"
+    )
+    return exact.join(est, "host").select(
+        "host",
+        "n_exact",
+        "n_est",
+        (F.col("n_est") - F.col("n_exact")).alias("overcount"),
+        (F.col("n_est") >= F.col("n_exact")).alias("ok"),
+    )
+
+
+def q_text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language p50/p90/p99 document-length cuts
+    (operators/quantiles.py): PERCENTILE_DISC by integer rank arithmetic
+    — value at 1-based rank ceil(q·n/100) — one per-group sort window,
+    map-side quantile filter."""
+    from newsfeeds_crawler_spark.operators.quantiles import (
+        grouped_quantiles_exact,
+    )
+
+    return grouped_quantiles_exact(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars", (50, 90, 99)
+    )
+
+
+def q_text_length_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-sketch quantiles (operators/quantiles.py,
+    hist_registers → hist_quantiles): the scale handoff the exact
+    operator documents — register table bucket = n_chars div 64,
+    add-mergeable across epochs, quantile = lower edge of the first
+    bucket whose cumulative count reaches rank (q·n+99) div 100. Pure
+    int64, so registers AND estimates hash-match DuckDB; est ≤ exact <
+    est+64 vs text_length_quantiles by construction (pytest-pinned)."""
+    from newsfeeds_crawler_spark.operators.quantiles import (
+        hist_quantiles,
+        hist_registers,
+    )
+
+    regs = hist_registers(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars", width=64
+    )
+    return hist_quantiles(regs, "lang", (50, 90, 99), width=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_canonicalize": q_url_canonicalize,
@@ -1332,6 +1486,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_verdict": q_curation_verdict,
         "events_sessionize": q_events_sessionize,
         "link_pagerank": q_link_pagerank,
+        "link_bfs_depth": q_link_bfs_depth,
+        "similarity_kmeans_train": q_similarity_kmeans_train,
+        "frontier_distinct_hll": q_frontier_distinct_hll,
+        "frontier_hot_hosts": q_frontier_hot_hosts,
+        "text_length_quantiles": q_text_length_quantiles,
+        "text_length_sketch_quantiles": q_text_length_sketch_quantiles,
         "text_decontaminate": q_text_decontaminate,
         "corpus_sample": q_corpus_sample,
         "text_bigram_lm": q_text_bigram_lm,
@@ -1342,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_rollup": q_metrics_rollup,
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "caption_consistency": q_caption_consistency,
+        "caption_consolidation": q_caption_consolidation,
         "image_decode_roundtrip": q_image_decode_roundtrip,
         "robots_parse": q_robots_parse,
         "image_resize_roundtrip": q_image_resize_roundtrip,
@@ -1353,6 +1514,178 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # =====================================================================
 # oracle SQL (DuckDB)
 # =====================================================================
+
+def _kmeans_oracle_sql(
+    k: int = 8, iters: int = 2, stride: int = 50, scale: int = 10**6
+) -> str:
+    """DuckDB mirror of operators/kmeans.kmeans_train — the same quantize
+    → assign (argmin by (d, cell)) → integer-mean update chain, one CTE
+    block per Lloyd's iteration. `//` and Spark's `div` both truncate
+    toward zero (probed), so negative component sums divide identically."""
+    parts = [
+        f"""
+        WITH vx AS (
+            SELECT vec_id AS id, t.pos::INT AS pos,
+                   floor(CAST(embedding[t.pos + 1] AS DOUBLE)
+                         * {scale}.0)::BIGINT AS v_q
+            FROM embeddings,
+                 UNNEST(generate_series(0, len(embedding) - 1)) AS t(pos)
+        ),
+        seeds AS (
+            SELECT id, (row_number() OVER (ORDER BY id) - 1)::INT AS cell
+            FROM (SELECT DISTINCT id FROM vx WHERE id % {stride} = 0
+                  ORDER BY id LIMIT {k})
+        ),
+        ce0 AS (SELECT cell, pos, v_q AS c_q FROM vx JOIN seeds USING (id))"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+        d{i} AS (SELECT vx.id, ce.cell,
+                        sum((vx.v_q - ce.c_q)
+                            * (vx.v_q - ce.c_q))::BIGINT AS d
+                 FROM vx JOIN ce{p} ce USING (pos) GROUP BY 1, 2),
+        a{i} AS (SELECT id, cell FROM (
+                     SELECT id, cell, row_number() OVER (
+                         PARTITION BY id ORDER BY d, cell) AS rn
+                     FROM d{i}) WHERE rn = 1),
+        u{i} AS (SELECT a.cell, vx.pos,
+                        (sum(vx.v_q) // count(*))::BIGINT AS u_q,
+                        count(*)::BIGINT AS n
+                 FROM a{i} a JOIN vx USING (id) GROUP BY 1, 2),
+        ce{i} AS (SELECT ce.cell, ce.pos,
+                         coalesce(u.u_q, ce.c_q)::BIGINT AS c_q,
+                         coalesce(u.n, 0)::BIGINT AS n_members
+                  FROM ce{p} ce LEFT JOIN u{i} u
+                  ON ce.cell = u.cell AND ce.pos = u.pos)"""
+        )
+    parts.append(
+        f"""
+        SELECT cell, pos, c_q, n_members FROM ce{iters}"""
+    )
+    return "".join(parts)
+
+
+def _hll_oracle_sql() -> str:
+    """DuckDB mirror of operators/sketches.hll_cardinality over the
+    derived URL key — same portable hash, same splitmix-style 62-bit
+    avalanche mixer (limb multiplies, power-of-two masks), comparison-sum
+    bitlen, max-rho registers, and two-step integer estimate."""
+    from newsfeeds_crawler_spark.operators.sketches import (
+        HLL_ALPHA_DEN,
+        HLL_ALPHA_NUM,
+        HLL_M,
+        HLL_M_BITS,
+        HLL_RMAX,
+        HLL_W,
+        mix62_sql,
+    )
+
+    key = (
+        "'https://h' || (user_id % 25)::VARCHAR || "
+        "'.example.com/e/' || (event_id % 4096)::VARCHAR"
+    )
+    bitlen = " + ".join(f"(payload >= {2**b})::BIGINT" for b in range(HLL_W))
+    big = HLL_M * HLL_M * (1 << HLL_RMAX)
+    top_shift = 62 - HLL_M_BITS - HLL_W
+    mix_ctes = ",\n        ".join(
+        f"{name} AS (SELECT {expr} FROM {prev})"
+        for (name, expr), prev in zip(
+            mix62_sql("h"),
+            ["h"] + [n for n, _ in mix62_sql("h")][:-1],
+        )
+    )
+    return f"""
+        WITH k AS (SELECT {key} AS key FROM events),
+        h AS (SELECT {fingerprint_sql('key')} AS h FROM k),
+        {mix_ctes},
+        br AS (SELECT (z & {HLL_M - 1})::BIGINT AS bucket,
+                      (z >> {HLL_M_BITS + top_shift})::BIGINT AS payload
+               FROM m5),
+        rh AS (SELECT bucket, ({HLL_W + 1} - ({bitlen}))::INT AS rho
+               FROM br),
+        regs AS (SELECT bucket, max(rho) AS rho FROM rh GROUP BY 1),
+        allb AS (SELECT range::BIGINT AS bucket FROM range({HLL_M})),
+        r2 AS (SELECT allb.bucket, coalesce(regs.rho, 0)::INT AS rho
+               FROM allb LEFT JOIN regs USING (bucket)),
+        s AS (SELECT sum(1::BIGINT << ({HLL_RMAX} - rho))::BIGINT AS s
+              FROM r2),
+        est AS (SELECT (({HLL_ALPHA_NUM} * ({big} // s))
+                        // {HLL_ALPHA_DEN})::BIGINT AS n_est FROM s),
+        ex AS (SELECT count(DISTINCT key)::BIGINT AS n_exact FROM k)
+        SELECT bucket, rho, n_est, n_exact,
+               round((n_est - n_exact)::DOUBLE * 100.0 / n_exact, 2)
+                   AS rel_err_pct
+        FROM r2, est, ex
+    """
+
+
+def _cms_oracle_sql() -> str:
+    """DuckDB mirror of operators/sketches.cms_counts + cms_lookup over
+    the planted-skew host key — same portable hash, same per-row salted
+    mix62 chains (prefixed CTEs: one for the sketch build, one for the
+    probes), same dense grid and min-over-rows estimate."""
+    from newsfeeds_crawler_spark.operators.sketches import (
+        CMS_D,
+        CMS_W_BITS,
+        MASK62,
+        _cms_salts,
+        mix62_sql,
+    )
+
+    w = 1 << CMS_W_BITS
+    host = (
+        "'h' || (CASE WHEN event_id % 4 < 3 THEN user_id % 20 "
+        "ELSE 20 + (user_id % 2000) END)::VARCHAR"
+    )
+    salts = ", ".join(
+        f"({i}, {s}::BIGINT)" for i, s in enumerate(_cms_salts(CMS_D))
+    )
+
+    def chain(expr: str, carry: tuple[str, ...], prefix: str, src: str) -> str:
+        steps = mix62_sql(expr, carry, prefix)
+        out, prev = [], src
+        for name, sel in steps:
+            out.append(f"{name} AS (SELECT {sel} FROM {prev})")
+            prev = name
+        return ",\n        ".join(out)
+
+    build = chain(
+        f"(h + salt) & {MASK62}", ("row_id",), "cb", "e0"
+    )
+    probe = chain(
+        f"(h + salt) & {MASK62}", ("host", "row_id"), "cp", "p0"
+    )
+    return f"""
+        WITH k AS (SELECT {host} AS host FROM events),
+        hh AS (SELECT {fingerprint_sql('host')} AS h FROM k),
+        salts AS (SELECT * FROM (VALUES {salts}) AS t(row_id, salt)),
+        e0 AS (SELECT hh.h, s.row_id, s.salt FROM hh, salts AS s),
+        {build},
+        hit AS (SELECT row_id, (z & {w - 1})::BIGINT AS bucket,
+                       count(*)::BIGINT AS cnt
+                FROM cb5 GROUP BY 1, 2),
+        grid AS (SELECT r.range::INT AS row_id, b.range::BIGINT AS bucket
+                 FROM range({CMS_D}) r, range({w}) b),
+        counts AS (SELECT grid.row_id, grid.bucket,
+                          coalesce(hit.cnt, 0)::BIGINT AS cnt
+                   FROM grid LEFT JOIN hit USING (row_id, bucket)),
+        dk AS (SELECT DISTINCT host FROM k),
+        ph AS (SELECT host, {fingerprint_sql('host')} AS h FROM dk),
+        p0 AS (SELECT ph.host, ph.h, s.row_id, s.salt FROM ph, salts AS s),
+        {probe},
+        pb AS (SELECT host, row_id, (z & {w - 1})::BIGINT AS bucket
+               FROM cp5),
+        est AS (SELECT pb.host, min(counts.cnt)::BIGINT AS n_est
+                FROM pb JOIN counts USING (row_id, bucket) GROUP BY 1),
+        ex AS (SELECT host, count(*)::BIGINT AS n_exact FROM k GROUP BY 1)
+        SELECT ex.host, ex.n_exact, est.n_est,
+               (est.n_est - ex.n_exact)::BIGINT AS overcount,
+               est.n_est >= ex.n_exact AS ok
+        FROM ex JOIN est USING (host)
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     jac = (
@@ -1740,6 +2073,30 @@ def oracle_sql() -> dict[str, str]:
                   + list_contains(toks, 'img' || ((ph // 281474976710656) % 65536)::VARCHAR)::INT
                    ) / 4.0 AS consistency
             FROM cap
+        """,
+        "caption_consolidation": """
+            WITH pairs AS (
+                SELECT 'img' || doc_id::VARCHAR AS image_id,
+                       ((doc_id % 97) * 256 + doc_id % 13)::BIGINT AS phash,
+                       substr(text, 1, 10 + (doc_id % 41)) AS caption
+                FROM documents),
+            ranked AS (
+                SELECT phash // 256 AS cluster, image_id, caption,
+                       row_number() OVER (
+                           PARTITION BY phash // 256
+                           ORDER BY length(caption) DESC, caption DESC,
+                                    image_id DESC) AS rn
+                FROM pairs),
+            stats AS (
+                SELECT phash // 256 AS cluster,
+                       COUNT(*)::BIGINT AS n_pairs,
+                       COUNT(DISTINCT caption)::BIGINT AS n_captions
+                FROM pairs GROUP BY 1)
+            SELECT s.cluster::BIGINT AS cluster, s.n_pairs, s.n_captions,
+                   s.n_captions > 1 AS contested,
+                   r.image_id AS canon_image_id,
+                   r.caption AS canon_caption
+            FROM stats s JOIN ranked r ON r.cluster = s.cluster AND r.rn = 1
         """,
         "dedup_simhash": f"""
             WITH tok AS (
@@ -2179,6 +2536,63 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - count(DISTINCT text) / count(*)::DOUBLE, 6)
                        AS dup_rate
             FROM documents GROUP BY source
+        """,
+        "similarity_kmeans_train": _kmeans_oracle_sql(),
+        "frontier_distinct_hll": _hll_oracle_sql(),
+        "frontier_hot_hosts": _cms_oracle_sql(),
+        "link_bfs_depth": """
+            WITH e AS (SELECT DISTINCT (user_id % 997)::BIGINT AS src,
+                              (event_id % 997)::BIGINT AS dst FROM events),
+            d0 AS (SELECT DISTINCT src AS node, 0::INT AS depth
+                   FROM e WHERE src % 100 = 0),
+            r1 AS (SELECT node, min(depth)::INT AS depth FROM (
+                       SELECT node, depth FROM d0
+                       UNION ALL
+                       SELECT e.dst AS node, (d.depth + 1)::INT AS depth
+                       FROM e JOIN d0 d ON e.src = d.node) GROUP BY 1),
+            r2 AS (SELECT node, min(depth)::INT AS depth FROM (
+                       SELECT node, depth FROM r1
+                       UNION ALL
+                       SELECT e.dst AS node, (d.depth + 1)::INT AS depth
+                       FROM e JOIN r1 d ON e.src = d.node) GROUP BY 1),
+            r3 AS (SELECT node, min(depth)::INT AS depth FROM (
+                       SELECT node, depth FROM r2
+                       UNION ALL
+                       SELECT e.dst AS node, (d.depth + 1)::INT AS depth
+                       FROM e JOIN r2 d ON e.src = d.node) GROUP BY 1)
+            SELECT node, depth FROM r3
+        """,
+        "text_length_quantiles": """
+            WITH r AS (SELECT lang, n_chars,
+                              row_number() OVER (
+                                  PARTITION BY lang
+                                  ORDER BY n_chars)::BIGINT AS rn,
+                              count(*) OVER (
+                                  PARTITION BY lang)::BIGINT AS n
+                       FROM documents),
+            q AS (SELECT unnest([50, 90, 99])::INT AS q_pct)
+            SELECT lang, q_pct, n_chars, n
+            FROM r, q WHERE rn = (q_pct * n + 99) // 100
+        """,
+        "text_length_sketch_quantiles": """
+            WITH reg AS (
+                SELECT lang, (n_chars // 64)::INT AS bucket,
+                       count(*)::BIGINT AS n
+                FROM documents GROUP BY 1, 2),
+            cum AS (
+                SELECT lang, bucket,
+                       sum(n) OVER (PARTITION BY lang
+                                    ORDER BY bucket)::BIGINT AS cum,
+                       sum(n) OVER (PARTITION BY lang)::BIGINT AS n
+                FROM reg),
+            q AS (SELECT unnest([50, 90, 99])::INT AS q_pct),
+            hit AS (
+                SELECT lang, q_pct, bucket, n
+                FROM cum, q WHERE cum >= (q_pct * n + 99) // 100),
+            f AS (
+                SELECT lang, q_pct, min(bucket) AS bucket, max(n) AS n
+                FROM hit GROUP BY 1, 2)
+            SELECT lang, q_pct, (bucket * 64)::BIGINT AS est, n FROM f
         """,
         # image_decode_roundtrip: intentionally omitted (rows-only check) —
         # binary image codecs are not SQL-expressible.

@@ -88,6 +88,13 @@ BENCH_QUERIES = [
     "dedup_rate_by_source",
     "robots_parse",
     "caption_consistency",
+    "caption_consolidation",
+    "link_bfs_depth",
+    "similarity_kmeans_train",
+    "frontier_distinct_hll",
+    "frontier_hot_hosts",
+    "text_length_quantiles",
+    "text_length_sketch_quantiles",
     "image_decode_roundtrip",
     "image_resize_roundtrip",
     "image_phash_neardup",

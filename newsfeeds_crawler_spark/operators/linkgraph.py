@@ -94,3 +94,49 @@ def pagerank_iter(
         "rank_q",
         F.round(F.col("rank_q").cast("double") / scale, 6).alias("rank"),
     )
+
+
+def bfs_depth(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded-hop BFS: min link-distance from the seed set, the crawl
+    DEPTH CLASS of every reachable host (the quantity the per-depth quota
+    budgets key on, ``plans/driver.py host_seed_cap``/``host_pending_cap``
+    — depth 0 = seeds, depth 1 = first-hop enqueues, ...).
+
+    Fixed ``iters`` relaxation rounds: depth_{k+1}(v) = min(depth_k(v),
+    min over edges u→v of depth_k(u)+1) — pure integer mins, so the result
+    is exactly order-independent and the DuckDB oracle unrolls the same
+    rounds as CTEs. Nodes not reached within ``iters`` hops are absent
+    (a crawl cares about the near frontier; raise ``iters`` to widen).
+
+    100 TB shape: per round, one edges⋈depths join on src (edges
+    hash-partitioned once and reused; depths ≤ reached nodes) and one
+    map-side-combinable min keyed dst — the same join+agg chain as
+    :func:`pagerank_iter`. O(diameter-bounded) rounds, no driver state.
+    """
+    e = edges.select(
+        F.col(src_col).cast("bigint").alias("src"),
+        F.col(dst_col).cast("bigint").alias("dst"),
+    ).distinct()
+    depth = seeds.select(
+        F.col(seeds.columns[0]).cast("bigint").alias("node")
+    ).distinct().select("node", F.lit(0).cast("int").alias("depth"))
+    for _ in range(iters):
+        relaxed = (
+            e.join(depth.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("depth") + 1).cast("int").alias("depth"),
+            )
+        )
+        depth = (
+            depth.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("depth").cast("int").alias("depth"))
+        )
+    return depth.select(F.col("node").cast("bigint").alias("node"), "depth")
