@@ -789,6 +789,30 @@ def q_dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring span removal (operators/spandedup.py),
+    the Lee et al. 2022 pass: rolling 8-token window fingerprints →
+    corpus-wide occurrence count → per-doc maximal-interval merge. The
+    gate plants cross-doc and within-doc boilerplate by doc_id arithmetic
+    (mirrored in the oracle) so real spans exist; output is the exact
+    integer span set (doc_id, span_id, start_tok, end_tok, ...)."""
+    from newsfeeds_crawler_spark.operators.spandedup import (
+        BOILER_A,
+        BOILER_B,
+        duplicate_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    salted = F.concat(
+        F.col("text"),
+        F.when(did % 4 == 0, F.lit(" " + BOILER_A)).otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.lit(" " + BOILER_B)).otherwise(F.lit("")),
+        F.when(did % 10 == 0, F.lit(" " + BOILER_A)).otherwise(F.lit("")),
+    )
+    return duplicate_spans(d.select("doc_id", salted.alias("text")))
+
+
 def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (operators/textquality.py): deterministic synthetic
     email/phone/IPv4 injection (arithmetic on doc_id, mirrored in the
@@ -1482,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_repetition_quality": q_text_repetition_quality,
         "dedup_segment_exact": q_dedup_segment_exact,
+        "dedup_span_removal": q_dedup_span_removal,
         "text_pii_scrub": q_text_pii_scrub,
         "curation_verdict": q_curation_verdict,
         "events_sessionize": q_events_sessionize,
@@ -1800,6 +1825,50 @@ def oracle_sql() -> dict[str, str]:
                    (round(n_dup::DOUBLE / n_segments, 6)
                     < {SEGMENT_DUP_MAX}) AS keep
             FROM p
+        """
+    from newsfeeds_crawler_spark.operators.spandedup import (
+        BOILER_A,
+        BOILER_B,
+        SPAN_WINDOW,
+    )
+
+    _w = SPAN_WINDOW
+    span_sql = f"""
+            WITH salted AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN ' {BOILER_A}' ELSE '' END
+                       || CASE WHEN doc_id % 6 = 0
+                               THEN ' {BOILER_B}' ELSE '' END
+                       || CASE WHEN doc_id % 10 = 0
+                               THEN ' {BOILER_A}' ELSE '' END AS text
+                FROM documents),
+            t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM salted),
+            w AS (SELECT doc_id, g.i::BIGINT AS i,
+                         array_to_string(
+                             toks[g.i + 1 : g.i + {_w}], ' ') AS gram
+                  FROM t, UNNEST(generate_series(0, len(toks) - {_w}))
+                          AS g(i)
+                  WHERE len(toks) >= {_w}),
+            h AS (SELECT doc_id, i, {fingerprint_sql('gram')} AS gh FROM w),
+            c AS (SELECT gh, count(*) AS c FROM h GROUP BY 1),
+            d AS (SELECT doc_id, i FROM h JOIN c USING (gh) WHERE c >= 2),
+            f AS (SELECT doc_id, i,
+                         CASE WHEN lag(i) OVER win IS NULL
+                                OR i - lag(i) OVER win > {_w}
+                              THEN 1 ELSE 0 END AS ns
+                  FROM d WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+            sp AS (SELECT doc_id, i,
+                          sum(ns) OVER (PARTITION BY doc_id ORDER BY i
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                   FROM f)
+            SELECT doc_id, sid::BIGINT AS span_id,
+                   min(i)::BIGINT AS start_tok,
+                   (max(i) + {_w - 1})::BIGINT AS end_tok,
+                   (max(i) - min(i) + {_w})::BIGINT AS span_tokens,
+                   count(*)::BIGINT AS n_windows
+            FROM sp GROUP BY 1, 2
         """
     simhash_votes = ", ".join(
         f"sum(((h // {2**b}) % 2) * 2 - 1) AS v{b}" for b in range(SIMHASH_BITS)
@@ -2321,6 +2390,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_repetition_quality": repetition_sql,
         "dedup_segment_exact": segment_sql,
+        "dedup_span_removal": span_sql,
         "curation_verdict": f"""
             WITH rep AS ({repetition_sql}),
             seg AS ({segment_sql}),
