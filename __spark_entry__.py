@@ -1365,6 +1365,17 @@ def q_similarity_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py): k-means-clustered embeddings,
+    within-cluster cosine >= 0.3 pairs, greedy lowest-id-survives keep
+    rule. Training and assignment are exact int64 (the kmeans operator);
+    only the pair cosine is double (same left fold as the oracle, rounded
+    8 dp before the compare), so the verdict frame hash-matches."""
+    from newsfeeds_crawler_spark.operators.semdedup import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
 def q_frontier_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-URL cardinality (operators/sketches.py): the
     mergeable per-epoch "distinct canonical URLs seen" sketch a 10^10-URL
@@ -1503,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_multiprobe": q_similarity_ivf_multiprobe,
         "similarity_ivfpq_topk": q_similarity_ivfpq_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_semantic": q_dedup_semantic,
         "text_stats": q_text_stats,
         "text_repetition_quality": q_text_repetition_quality,
         "dedup_segment_exact": q_dedup_segment_exact,
@@ -1540,13 +1552,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB)
 # =====================================================================
 
-def _kmeans_oracle_sql(
+def _kmeans_ctes(
     k: int = 8, iters: int = 2, stride: int = 50, scale: int = 10**6
 ) -> str:
-    """DuckDB mirror of operators/kmeans.kmeans_train — the same quantize
-    → assign (argmin by (d, cell)) → integer-mean update chain, one CTE
-    block per Lloyd's iteration. `//` and Spark's `div` both truncate
-    toward zero (probed), so negative component sums divide identically."""
+    """The WITH-body of the kmeans mirror (quantize → seed → per-iteration
+    assign/update CTEs, ending at ``ce{iters}``) — shared by the trainer
+    gate and the SemDeDup gate, which appends its own consumers."""
     parts = [
         f"""
         WITH vx AS (
@@ -1585,11 +1596,64 @@ def _kmeans_oracle_sql(
                   FROM ce{p} ce LEFT JOIN u{i} u
                   ON ce.cell = u.cell AND ce.pos = u.pos)"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _kmeans_oracle_sql(
+    k: int = 8, iters: int = 2, stride: int = 50, scale: int = 10**6
+) -> str:
+    """DuckDB mirror of operators/kmeans.kmeans_train — the same quantize
+    → assign (argmin by (d, cell)) → integer-mean update chain, one CTE
+    block per Lloyd's iteration. `//` and Spark's `div` both truncate
+    toward zero (probed), so negative component sums divide identically."""
+    return (
+        _kmeans_ctes(k, iters, stride, scale)
+        + f"""
         SELECT cell, pos, c_q, n_members FROM ce{iters}"""
     )
-    return "".join(parts)
+
+
+def _semdedup_oracle_sql(
+    k: int = 8,
+    iters: int = 2,
+    stride: int = 50,
+    scale: int = 10**6,
+    threshold: float = 0.3,
+) -> str:
+    """DuckDB mirror of operators/semdedup.semantic_dedup: the trainer's
+    CTE chain, the same integer-L2 argmin assignment (tie-break on cell),
+    the within-cell pair scan with the identical left-fold cosine rounded
+    at 8 dp, and the greedy lowest-id-survives keep rule."""
+    cos = cosine_sql("ea.embedding", "eb.embedding")
+    return (
+        _kmeans_ctes(k, iters, stride, scale)
+        + f""",
+        dv AS (SELECT vx.id, ce.cell,
+                      sum((vx.v_q - ce.c_q)
+                          * (vx.v_q - ce.c_q))::BIGINT AS d
+               FROM vx JOIN ce{iters} ce USING (pos) GROUP BY 1, 2),
+        asg AS (SELECT id, cell FROM (
+                    SELECT id, cell, row_number() OVER (
+                        PARTITION BY id ORDER BY d, cell) AS rn
+                    FROM dv) WHERE rn = 1),
+        p AS (SELECT id_a, id_b FROM (
+                  SELECT a.id AS id_a, b.id AS id_b,
+                         round({cos}, 8) AS sim
+                  FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+                  JOIN embeddings ea ON ea.vec_id = a.id
+                  JOIN embeddings eb ON eb.vec_id = b.id)
+              WHERE sim >= {threshold}),
+        nd AS (SELECT id, count(*)::BIGINT AS n_dups FROM (
+                   SELECT id_a AS id FROM p
+                   UNION ALL SELECT id_b AS id FROM p)
+               GROUP BY 1),
+        drp AS (SELECT DISTINCT id_b AS id FROM p)
+        SELECT asg.id::BIGINT AS vec_id, asg.cell::INT AS cell,
+               coalesce(nd.n_dups, 0)::BIGINT AS n_dups,
+               (drp.id IS NULL) AS keep
+        FROM asg LEFT JOIN nd ON asg.id = nd.id
+                 LEFT JOIN drp ON asg.id = drp.id"""
+    )
 
 
 def _hll_oracle_sql() -> str:
@@ -2608,6 +2672,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "similarity_kmeans_train": _kmeans_oracle_sql(),
+        "dedup_semantic": _semdedup_oracle_sql(),
         "frontier_distinct_hll": _hll_oracle_sql(),
         "frontier_hot_hosts": _cms_oracle_sql(),
         "link_bfs_depth": """
