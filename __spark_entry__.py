@@ -1319,6 +1319,42 @@ def q_caption_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").cast("long"), "consistency")
 
 
+def q_image_metadata_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataComp/LAION-style metadata curation pass
+    (operators/multimodal.image_metadata_verdict): each document becomes an
+    (image_id, w, h, fmt, caption, phash) row by doc_id arithmetic —
+    planted undersized/extreme-aspect sizes, disallowed formats, a
+    one-token caption every 11th row, and a shared phash every 9th row so
+    EVERY rule fires — then the verdict applies resolution/aspect/format/
+    caption-length/keep-lowest-id-dup rules with a precedence reason
+    code. Pure Catalyst + one window; the oracle mirrors the arithmetic."""
+    from newsfeeds_crawler_spark.operators.multimodal import (
+        image_metadata_verdict,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    img = d.select(
+        did.alias("image_id"),
+        (F.lit(16) + (did * 37) % 1009).cast("int").alias("w"),
+        (F.lit(16) + (did * 61) % 1009).cast("int").alias("h"),
+        F.element_at(
+            F.array(
+                F.lit("png"), F.lit("jpeg"), F.lit("gif"), F.lit("bmp")
+            ),
+            (did % 4 + 1).cast("int"),
+        ).alias("fmt"),
+        F.when(did % 11 == 0, F.lit("x")).otherwise(F.col("text")).alias(
+            "caption"
+        ),
+        F.when(did % 9 == 0, F.lit(777))
+        .otherwise(did * 2654435761 + 17)
+        .cast("long")
+        .alias("phash"),
+    )
+    return image_metadata_verdict(img)
+
+
 def q_caption_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical caption per near-dup image cluster (operators/captions):
     LAION/DataComp-style consolidation of a crawled (image, caption)
@@ -1540,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "caption_consistency": q_caption_consistency,
         "caption_consolidation": q_caption_consolidation,
+        "image_metadata_verdict": q_image_metadata_verdict,
         "image_decode_roundtrip": q_image_decode_roundtrip,
         "robots_parse": q_robots_parse,
         "image_resize_roundtrip": q_image_resize_roundtrip,
@@ -2206,6 +2243,44 @@ def oracle_sql() -> dict[str, str]:
                   + list_contains(toks, 'img' || ((ph // 281474976710656) % 65536)::VARCHAR)::INT
                    ) / 4.0 AS consistency
             FROM cap
+        """,
+        "image_metadata_verdict": r"""
+            WITH img AS (
+                SELECT doc_id AS image_id,
+                       (16 + (doc_id * 37) % 1009)::INT AS w,
+                       (16 + (doc_id * 61) % 1009)::INT AS h,
+                       (['png', 'jpeg', 'gif', 'bmp'])[(doc_id % 4 + 1)::INT]
+                           AS fmt,
+                       CASE WHEN doc_id % 11 = 0 THEN 'x' ELSE text END
+                           AS caption,
+                       (CASE WHEN doc_id % 9 = 0 THEN 777
+                             ELSE doc_id * 2654435761 + 17 END)::BIGINT
+                           AS phash
+                FROM documents),
+            t AS (
+                SELECT image_id, w, h, fmt,
+                       len(string_split_regex(lower(trim(caption)),
+                           '\s+'))::INT AS n_caption_tokens,
+                       (image_id > min(image_id) OVER (PARTITION BY phash))
+                           AS phash_dup
+                FROM img),
+            r AS (
+                SELECT *,
+                       CASE WHEN w < 64 OR h < 64 THEN 'too_small'
+                            WHEN 10 * greatest(w, h) > 35 * least(w, h)
+                                THEN 'bad_aspect'
+                            WHEN fmt NOT IN ('png', 'jpeg')
+                                THEN 'bad_format'
+                            WHEN n_caption_tokens < 3
+                              OR n_caption_tokens > 256
+                                THEN 'caption_length'
+                            WHEN phash_dup THEN 'phash_dup'
+                            ELSE 'ok' END AS reason
+                FROM t)
+            SELECT image_id::BIGINT AS image_id, w, h, fmt,
+                   n_caption_tokens, phash_dup, reason,
+                   (reason = 'ok') AS keep
+            FROM r
         """,
         "caption_consolidation": """
             WITH pairs AS (

@@ -19,7 +19,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -228,3 +228,80 @@ def caption_image_consistency(
         )
         hits = hit if hits is None else hits + hit
     return df.withColumn(out_col, hits / F.lit(float(bands)))
+
+
+def image_metadata_verdict(
+    df: DataFrame,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+    fmt_col: str = "fmt",
+    caption_col: str = "caption",
+    phash_col: str = "phash",
+    min_side: int = 64,
+    max_aspect_x10: int = 35,
+    min_caption_tokens: int = 3,
+    max_caption_tokens: int = 256,
+    allowed_fmts: tuple[str, ...] = ("png", "jpeg"),
+) -> DataFrame:
+    """DataComp/LAION-style metadata curation pass over an (image, caption)
+    corpus — the filter stage a multimodal pipeline runs BEFORE paying for
+    any decode: resolution floor, aspect-ratio bound (integer arithmetic:
+    10·max(w,h) ≤ max_aspect_x10·min(w,h)), allowed container format,
+    caption token-count window, and keep-lowest-id exact-phash dedup.
+    One deterministic reason code per row in fixed precedence
+    (too_small → bad_aspect → bad_format → caption_length → phash_dup →
+    ok), the ``curation_verdict`` convention.
+
+    Public sources for the rule family: Gadre et al. 2023 (DataComp)
+    filters on original width/height and caption length; Schuhmann et al.
+    2021/2022 (LAION) drop short captions and undersized images and
+    URL+text-dedup the pairs. The content-aware twin of the dedup rule —
+    banded phash hamming — is :func:`phash_hamming_pairs`; here equality
+    of the stored 64-bit phash is the metadata-only stand-in.
+
+    100 TB shape: everything except the dedup window is a map-only
+    projection; the dedup is one shuffle keyed on ``phash`` (dup groups
+    are tiny by construction — a hot phash IS a mass-duplicated image,
+    exactly what the rule exists to drop). No decode, no Python, no
+    broadcast.
+    """
+    iid, w, h = F.col(id_col), F.col(w_col), F.col(h_col)
+    n_tok = F.size(F.split(F.lower(F.trim(F.col(caption_col))), r"\s+"))
+    aspect_ok = (
+        F.greatest(w, h) * F.lit(10) <= F.least(w, h) * F.lit(max_aspect_x10)
+    )
+    fmt_ok = F.col(fmt_col).isin(*allowed_fmts)
+    dup = iid > F.min(iid).over(Window.partitionBy(phash_col))
+    flagged = df.select(
+        iid.cast("bigint").alias("image_id"),
+        w.cast("int").alias("w"),
+        h.cast("int").alias("h"),
+        F.col(fmt_col).alias("fmt"),
+        n_tok.cast("int").alias("n_caption_tokens"),
+        dup.alias("phash_dup"),
+        aspect_ok.alias("__aspect_ok"),
+        fmt_ok.alias("__fmt_ok"),
+    )
+    size_ok = (F.col("w") >= min_side) & (F.col("h") >= min_side)
+    cap_ok = (F.col("n_caption_tokens") >= min_caption_tokens) & (
+        F.col("n_caption_tokens") <= max_caption_tokens
+    )
+    reason = (
+        F.when(~size_ok, F.lit("too_small"))
+        .when(~F.col("__aspect_ok"), F.lit("bad_aspect"))
+        .when(~F.col("__fmt_ok"), F.lit("bad_format"))
+        .when(~cap_ok, F.lit("caption_length"))
+        .when(F.col("phash_dup"), F.lit("phash_dup"))
+        .otherwise(F.lit("ok"))
+    )
+    return flagged.select(
+        "image_id",
+        "w",
+        "h",
+        "fmt",
+        "n_caption_tokens",
+        "phash_dup",
+        reason.alias("reason"),
+        (reason == F.lit("ok")).alias("keep"),
+    )
