@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "text_stats",
     "text_repetition_quality",
     "dedup_segment_exact",
+    "dedup_span_removal",
+    "dedup_semantic",
+    "image_metadata_verdict",
     "text_pii_scrub",
     "text_decontaminate",
     "corpus_sample",

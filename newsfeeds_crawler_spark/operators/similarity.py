@@ -594,3 +594,4 @@ def ivf_topk(
             F.col("rank").cast("int"),
         )
     )
+

@@ -90,3 +90,57 @@ def test_partition_invariance(spark):
         )
     )
     assert a == b
+
+
+def test_semantic_pairs_impls_bit_equal_on_awkward_doubles(spark):
+    """The per-cell matrix twin (impl='arrow') must produce BITWISE the
+    same pair sims as the Catalyst fold path (impl='expr') including on
+    awkward components (negative zeros, denormals, large/small mixes):
+    dims accumulate in the same left-fold order from the same 0.0 seed,
+    and sqrt / multiply / divide are single correctly-rounded IEEE ops.
+    threshold=-2 keeps EVERY pair so all sims are compared."""
+    import struct
+
+    from newsfeeds_crawler_spark.operators.semdedup import semantic_pairs
+
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [1.0, 2.0, 3.0, 4.0]),
+        # note: the column is array<float>, so components below float32
+        # range flush to 0f — and a zero NORM is out of contract (ANSI
+        # divide-by-zero in the expr path, ±inf in numpy). 1e-40 is a
+        # float32 DENORMAL that still squares to a normal double.
+        (3, [-0.0, 0.0, -0.0, 1e-40]),
+        (4, [5e-30, -5e-30, 2.3e-10, 1.0]),
+        (5, [0.1, 0.2, 0.30000000000000004, -0.7]),
+        (6, [3.141592653589793, -2.718281828459045, 1.5, -0.5]),
+    ]
+    df = _emb(spark, [(i, [float(x) for x in v]) for i, v in rows])
+
+    def grab(impl):
+        out = semantic_pairs(
+            df, k=2, iters=2, stride=1, threshold=-2.0, impl=impl
+        ).collect()
+        return sorted(
+            (r.id_a, r.id_b, struct.pack("<d", r.sim)) for r in out
+        )
+
+    a, b = grab("expr"), grab("arrow")
+    assert len(a) > 0 and a == b
+
+
+def test_semantic_dedup_impls_bit_equal(spark):
+    df = _vecs(spark)
+    a = sorted(
+        map(
+            tuple,
+            semantic_dedup(df, k=2, iters=2, stride=2, impl="expr").collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            semantic_dedup(df, k=2, iters=2, stride=2, impl="arrow").collect(),
+        )
+    )
+    assert a == b
