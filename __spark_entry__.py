@@ -1381,6 +1381,35 @@ def q_caption_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return caption_consolidate(pairs, F.expr("phash div 256"))
 
 
+def q_link_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text consolidation (operators/linkgraph.anchor_topk): the
+    per-target top-3 anchor strings over the events-derived link graph
+    (the same src/dst arithmetic as link_pagerank, plus a deterministic
+    anchor token). One (dst, anchor) count aggregate + the partial+final
+    WindowGroupLimit top-k."""
+    from newsfeeds_crawler_spark.operators.linkgraph import anchor_topk
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 997).cast("bigint").alias("src"),
+        (F.col("event_id") % 997).cast("bigint").alias("dst"),
+        F.concat(
+            F.lit("anchor"),
+            ((F.col("user_id") + F.col("event_id")) % 23).cast("string"),
+        ).alias("anchor"),
+    )
+    return anchor_topk(edges, k=3)
+
+
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators/packing.py): concat-then-chunk
+    layout per source shard — exclusive prefix sums of token counts in
+    doc_id order, 1024-token sequences, exact int64 window arithmetic."""
+    from newsfeeds_crawler_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"))
+
+
 def q_similarity_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-quantized Lloyd's k-means (operators/kmeans.py): trains the
     coarse centroids the IVF/IVF-PQ indexes consume (k=8, 2 iterations,
@@ -1560,6 +1589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "link_pagerank": q_link_pagerank,
         "link_bfs_depth": q_link_bfs_depth,
+        "link_anchor_topk": q_link_anchor_topk,
+        "corpus_pack_sequences": q_corpus_pack_sequences,
         "similarity_kmeans_train": q_similarity_kmeans_train,
         "frontier_distinct_hll": q_frontier_distinct_hll,
         "frontier_hot_hosts": q_frontier_hot_hosts,
@@ -2599,6 +2630,46 @@ def oracle_sql() -> dict[str, str]:
                    min(ts_us) AS start_us, max(ts_us) AS end_us,
                    (max(ts_us) - min(ts_us))::BIGINT AS duration_us
             FROM s GROUP BY 1, 2
+        """,
+        "link_anchor_topk": """
+            WITH e AS (SELECT (user_id % 997)::BIGINT AS src,
+                              (event_id % 997)::BIGINT AS dst,
+                              'anchor' ||
+                              ((user_id + event_id) % 23)::VARCHAR AS anchor
+                       FROM events),
+            c AS (SELECT dst, anchor, count(*)::BIGINT AS cnt
+                  FROM e GROUP BY 1, 2),
+            r AS (SELECT dst, anchor, cnt,
+                         row_number() OVER (PARTITION BY dst
+                                            ORDER BY cnt DESC, anchor)
+                             AS rank
+                  FROM c)
+            SELECT dst::BIGINT AS dst, anchor, cnt, rank::INT AS rank
+            FROM r WHERE rank <= 3
+        """,
+        "corpus_pack_sequences": r"""
+            WITH b AS (SELECT doc_id, source AS shard,
+                              len(string_split_regex(lower(trim(text)),
+                                  '\s+'))::BIGINT AS n_tokens
+                       FROM documents),
+            s AS (SELECT doc_id, shard, n_tokens,
+                         coalesce(sum(n_tokens) OVER (
+                             PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0)::BIGINT
+                             AS start_offset
+                  FROM b)
+            SELECT doc_id::BIGINT AS doc_id, shard, n_tokens, start_offset,
+                   (start_offset // 1024)::BIGINT AS first_seq,
+                   ((start_offset + n_tokens - 1) // 1024)::BIGINT
+                       AS last_seq,
+                   ((start_offset + n_tokens - 1) // 1024
+                    - start_offset // 1024 + 1)::BIGINT AS n_seqs,
+                   ((start_offset + n_tokens - 1) // 1024
+                    > start_offset // 1024) AS spans_boundary,
+                   ((start_offset + n_tokens - 1) % 1024 = 1023)
+                       AS ends_on_boundary
+            FROM s
         """,
         "link_pagerank": """
             WITH e AS (SELECT DISTINCT (user_id % 997)::BIGINT AS src,

@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "caption_consistency",
     "caption_consolidation",
     "link_bfs_depth",
+    "link_anchor_topk",
+    "corpus_pack_sequences",
     "similarity_kmeans_train",
     "frontier_distinct_hll",
     "frontier_hot_hosts",

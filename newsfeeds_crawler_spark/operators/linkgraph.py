@@ -35,7 +35,7 @@ at 10^8 hosts drop ``scale`` to 10^9 (still nano-rank resolution).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PAGERANK_SCALE = 10**12  # rank 1.0 in integer units
@@ -140,3 +140,52 @@ def bfs_depth(
             .agg(F.min("depth").cast("int").alias("depth"))
         )
     return depth.select(F.col("node").cast("bigint").alias("node"), "depth")
+
+
+def anchor_topk(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Anchor-text consolidation: for every link target, the top-k anchor
+    strings pointing at it, by occurrence count (ties broken on the anchor
+    string, then deterministic rank).
+
+    The canonical web-graph operator behind page-title/ranking signals
+    (anchor text describes the TARGET page better than its own content —
+    the classic observation in Brin & Page 1998 §2.2 and TREC web-track
+    anchor-text runs): a crawl emits (src, dst, anchor) link records; the
+    consolidated per-target anchor profile joins onto the frontier as a
+    relevance prior, and at training-data scale the same aggregate builds
+    the (url, anchor-context) pairs used for retrieval corpora.
+
+    100 TB shape: one hash aggregate keyed (dst, anchor) — map-side
+    combinable, width ∝ distinct (dst, anchor) pairs — then the per-dst
+    top-k rank window, which Spark plans as a PARTIAL + FINAL
+    WindowGroupLimit pair: each input partition ships only its local
+    top-k per dst, so the post-shuffle partition holds ≤ k×P rows per
+    dst, never the full anchor profile. A hot dst (everyone links the
+    same homepage) is bounded the same way. Self-links count; the caller
+    filters if the policy says otherwise.
+    """
+    cnt = (
+        edges.groupBy(
+            F.col(dst_col).alias("dst"), F.col(anchor_col).alias("anchor")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("dst").orderBy(
+        F.col("cnt").desc(), F.col("anchor")
+    )
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("dst").cast("bigint"),
+            "anchor",
+            "cnt",
+            F.col("rank").cast("int"),
+        )
+    )

@@ -72,3 +72,40 @@ def test_gate_matches_duckdb_oracle(spark, sf_dir):
     assert canon_hash([tuple(r) for r in srows], scols) == canon_hash(
         drows, dcols
     )
+
+
+def test_anchor_topk_counts_ties_and_k(spark):
+    from newsfeeds_crawler_spark.operators.linkgraph import anchor_topk
+
+    edges = spark.createDataFrame(
+        # dst 1: "home" x3, "news" x2, "blog" x2, "zzz" x1 -> top3 =
+        # home(1), blog(2, tie broken on string), news(3)
+        [(0, 1, "home")] * 3
+        + [(0, 1, "news")] * 2
+        + [(0, 1, "blog")] * 2
+        + [(0, 1, "zzz")]
+        + [(5, 2, "only")],
+        "src long, dst long, anchor string",
+    )
+    out = sorted(
+        anchor_topk(edges, k=3).collect(),
+        key=lambda r: (r.dst, r.rank),
+    )
+    assert [(r.dst, r.anchor, r.cnt, r.rank) for r in out] == [
+        (1, "home", 3, 1),
+        (1, "blog", 2, 2),
+        (1, "news", 2, 3),
+        (2, "only", 1, 1),
+    ]
+
+
+def test_anchor_topk_partition_invariance(spark):
+    from newsfeeds_crawler_spark.operators.linkgraph import anchor_topk
+
+    edges = spark.createDataFrame(
+        [(i, i % 5, f"a{(i * 7) % 3}") for i in range(200)],
+        "src long, dst long, anchor string",
+    )
+    a = sorted(map(tuple, anchor_topk(edges, k=2).collect()))
+    b = sorted(map(tuple, anchor_topk(edges.repartition(9), k=2).collect()))
+    assert a == b

@@ -329,3 +329,15 @@ def test_robots_split_semi_mode_prunes_dim_before_broadcast(spark):
     plan = sparkplan(allowed)
     assert "LeftSemi" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_anchor_topk_has_partial_window_group_limit(spark, sf001):
+    """Anchor-text consolidation: the per-dst top-k must plan the same
+    PARTIAL + FINAL WindowGroupLimit pair as the ANN rank windows, so a
+    hot link target ships ≤ k rows per input partition — never its whole
+    anchor profile."""
+    import __spark_entry__ as E
+
+    plan = sparkplan(E.queries()["link_anchor_topk"](spark, sf001))
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "Partial" in plan.split("WindowGroupLimit")[2]
