@@ -619,6 +619,25 @@ def q_dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup probe (operators/dedup.incremental_lsh_probe):
+    documents with doc_id % 3 == 0 are the NEW epoch batch, the rest are
+    the existing corpus; each new doc is probed through the LSH band
+    index (candidates = shared band key with an existing doc) and
+    verified with exact shingle Jaccard >= 0.2. Per-batch-doc verdict:
+    candidate count, is_dup, best match (highest Jaccard, lowest id)."""
+    from newsfeeds_crawler_spark.operators.dedup import incremental_lsh_probe
+
+    d = _t(spark, sf_dir, "documents")
+    return incremental_lsh_probe(
+        d.filter(F.col("doc_id") % 3 != 0),
+        d.filter(F.col("doc_id") % 3 == 0),
+        "doc_id",
+        "text",
+        threshold=0.2,
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(8 bands × 2 rows) → verified Jaccard ≥ 0.2 pairs."""
     return minhash_lsh_pairs(
@@ -1570,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_token_jaccard": q_dedup_token_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_incremental_lsh": q_dedup_incremental_lsh,
         "dedup_minhash_components": q_dedup_minhash_components,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
@@ -1872,6 +1892,47 @@ def oracle_sql() -> dict[str, str]:
     sig = _minhash_sig_sql("hs")
     # shared by dedup_minhash_lsh (the pair finder) and
     # dedup_minhash_components (transitive closure over those pairs)
+    inc_jac = (
+        "round(len(list_intersect(g_n, g_o)) "
+        "/ greatest(len(list_distinct(list_concat(g_n, g_o))), 1), 6)"
+    )
+    inc_probe_sql = f"""
+            WITH g AS (
+                SELECT doc_id, {shingles_sql('text', 3)} AS grams
+                FROM documents),
+            h AS (
+                SELECT doc_id, grams,
+                       list_transform(grams,
+                           __g -> {fingerprint_sql('__g')}) AS hs
+                FROM g),
+            s AS (SELECT doc_id, grams, {_minhash_sig_sql('hs')} AS sig
+                  FROM h),
+            b AS (SELECT doc_id, grams,
+                         unnest({_band_keys_sql('sig')}) AS band_key FROM s),
+            cand AS (
+                SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id,
+                       n.grams AS g_n, o.grams AS g_o
+                FROM b n JOIN b o USING (band_key)
+                WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0),
+            v AS (SELECT new_id, old_id, {inc_jac} AS jaccard FROM cand),
+            q AS (SELECT new_id, old_id, jaccard FROM v
+                  WHERE jaccard >= 0.2),
+            best AS (SELECT new_id, old_id, jaccard FROM (
+                         SELECT new_id, old_id, jaccard, row_number() OVER (
+                             PARTITION BY new_id
+                             ORDER BY jaccard DESC, old_id) AS rn FROM q)
+                     WHERE rn = 1),
+            nc AS (SELECT new_id, count(*)::BIGINT AS n_candidates
+                   FROM cand GROUP BY 1)
+            SELECT d.doc_id::BIGINT AS doc_id,
+                   coalesce(nc.n_candidates, 0)::BIGINT AS n_candidates,
+                   (best.old_id IS NOT NULL) AS is_dup,
+                   best.old_id::BIGINT AS match_id,
+                   best.jaccard AS match_jaccard
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+            LEFT JOIN nc ON d.doc_id = nc.new_id
+            LEFT JOIN best ON d.doc_id = best.new_id
+        """
     minhash_pairs_sql = f"""
             WITH g AS (
                 SELECT doc_id, {shingles_sql('text', 3)} AS grams FROM documents),
@@ -2215,6 +2276,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE jaccard >= 0.2
         """,
         "dedup_minhash_lsh": minhash_pairs_sql,
+        "dedup_incremental_lsh": inc_probe_sql,
         "dedup_minhash_components": f"""
             WITH RECURSIVE
             pairs AS ({minhash_pairs_sql}),

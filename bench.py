@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_token_jaccard",
     "dedup_minhash_lsh",
+    "dedup_incremental_lsh",
     "dedup_minhash_components",
     "dedup_simhash",
     "similarity_brute_topk",

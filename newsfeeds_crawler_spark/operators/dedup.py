@@ -17,7 +17,7 @@ map-side partial aggregation. Nothing here ever collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from newsfeeds_crawler_spark.functions.dedup import SIMHASH_BITS
 from newsfeeds_crawler_spark.functions.text import shingles
@@ -103,6 +103,55 @@ def token_jaccard_pairs(
     )
 
 
+def banded_ids(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band_key) rows for a (id, grams) frame — the MinHash signature
+    + LSH banding stage shared by the batch pair finder
+    (:func:`minhash_lsh_pairs`) and the incremental probe
+    (:func:`incremental_lsh_probe`), and the exact frame a production
+    index persists as its bucketed signature store."""
+    from newsfeeds_crawler_spark.functions.dedup import (
+        MERSENNE31,
+        minhash_coeffs,
+    )
+    from newsfeeds_crawler_spark.functions.text import fingerprint64_arrow
+
+    rows_per_band = num_hashes // bands
+    # gram hashing is the hot loop (|docs|·|grams| rows × |gram| chars):
+    # the Arrow twin computes the identical poly-hash vectorized instead
+    # of ~20 interpreted fold steps per gram — measured 10.0 → ~2 s on the
+    # sf0.1 gate, same values (fingerprint64_arrow's bit-equality pin)
+    gram_rows = docs.select(
+        "id", F.explode("grams").alias("gram")
+    ).withColumn("h", fingerprint64_arrow(F.col("gram")))
+    sig = gram_rows.groupBy("id").agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE31)
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
+        ]
+    )
+    band_key_arr = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(str(b)),
+                *[
+                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("id", F.explode(band_key_arr).alias("band_key"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -140,39 +189,7 @@ def minhash_lsh_pairs(
     # survives in functions.dedup.minhash_signature where it fixes a real
     # 16x hash re-inline. grams is never empty (functions.text.shingles
     # falls back to the whole-token join), so no doc drops out.
-    from newsfeeds_crawler_spark.functions.dedup import MERSENNE31, minhash_coeffs
-    from newsfeeds_crawler_spark.functions.text import fingerprint64_arrow
-
-    rows_per_band = num_hashes // bands
-    # gram hashing is the hot loop (|docs|·|grams| rows × |gram| chars):
-    # the Arrow twin computes the identical poly-hash vectorized instead
-    # of ~20 interpreted fold steps per gram — measured 10.0 → ~2 s on the
-    # sf0.1 gate, same values (fingerprint64_arrow's bit-equality pin)
-    gram_rows = docs.select(
-        "id", F.explode("grams").alias("gram")
-    ).withColumn("h", fingerprint64_arrow(F.col("gram")))
-    sig = gram_rows.groupBy("id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE31)).alias(
-                f"mh{i}"
-            )
-            for i, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
-        ]
-    )
-    band_key_arr = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                F.lit(str(b)),
-                *[
-                    F.col(f"mh{b * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ],
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("id", F.explode(band_key_arr).alias("band_key"))
+    banded = banded_ids(docs, num_hashes, bands, seed)
     a = banded.select("band_key", F.col("id").alias("id_a"))
     b = banded.select("band_key", F.col("id").alias("id_b"))
     cand_ids = (
@@ -410,4 +427,118 @@ def neardup_components(
         F.col("v").alias("doc_id"),
         F.col("comp").alias("component"),
         (F.col("v") == F.col("comp")).alias("is_canonical"),
+    )
+
+
+def incremental_lsh_probe(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental near-dup dedup: probe a NEW batch of documents against
+    an EXISTING corpus without re-pairing the corpus with itself — the
+    per-epoch shape a production pipeline actually runs (each crawl epoch
+    dedups its new documents against everything already ingested; the
+    corpus-vs-corpus pass ran once, long ago).
+
+    Per new document: every existing doc sharing ≥ 1 LSH band is a
+    candidate; candidates are verified with exact shingle Jaccard; the
+    verdict is ``is_dup`` (any verified match ≥ threshold) with the best
+    match (highest Jaccard, ties to the lowest existing id). Every batch
+    doc appears in the output, matched or not.
+
+    100 TB shape — the corpus side is an INDEX, not an input: its
+    (id, band_key) frame is exactly what a production run persists as a
+    band_key-bucketed signature store (the same J2 storage-partitioned
+    probe as the crawl's seen store — ``tablestore/bucketed.py``;
+    ``tests/test_dedup_similarity.py`` pins that probing a bucketed store
+    shuffles ONLY the batch side, zero Exchange over the index). Per
+    epoch the work is ∝ |batch| signatures + candidate verification —
+    never |corpus|; after the epoch commits, the batch's signature rows
+    append-merge into the store, which is one bucketed write ∝ touched
+    buckets. Candidate verification joins raw text by id, so text travels
+    only for candidates.
+    """
+    new_docs = batch.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), k_shingle).alias("grams"),
+    )
+    old_docs = corpus.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), k_shingle).alias("grams"),
+    )
+    nb = banded_ids(new_docs, num_hashes, bands, seed).select(
+        F.col("id").alias("new_id"), "band_key"
+    )
+    ob = banded_ids(old_docs, num_hashes, bands, seed).select(
+        F.col("id").alias("old_id"), "band_key"
+    )
+    cand_ids = (
+        nb.join(ob, "band_key")
+        .select("new_id", "old_id")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    raw_new = batch.select(
+        F.col(id_col).alias("new_id"), F.col(text_col).alias("t_n")
+    )
+    raw_old = corpus.select(
+        F.col(id_col).alias("old_id"), F.col(text_col).alias("t_o")
+    )
+    verified = (
+        cand_ids.join(raw_new, "new_id")
+        .join(raw_old, "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            shingles(F.col("t_n"), k_shingle).alias("g_n"),
+            shingles(F.col("t_o"), k_shingle).alias("g_o"),
+        )
+        .select(
+            "new_id",
+            "old_id",
+            F.round(
+                F.size(F.array_intersect("g_n", "g_o")).cast("double")
+                / F.greatest(
+                    F.size(F.array_union("g_n", "g_o")).cast("double"),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    n_cand = cand_ids.groupBy("new_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    hits = verified.filter(F.col("jaccard") >= threshold)
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard").desc(), F.col("old_id")
+    )
+    best = (
+        hits.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "new_id",
+            F.col("old_id").alias("match_id"),
+            F.col("jaccard").alias("match_jaccard"),
+        )
+    )
+    return (
+        batch.select(F.col(id_col).cast("bigint").alias("doc_id"))
+        .join(n_cand.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+        .join(best.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            F.col("match_id").isNotNull().alias("is_dup"),
+            F.col("match_id").cast("bigint").alias("match_id"),
+            "match_jaccard",
+        )
     )

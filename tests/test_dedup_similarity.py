@@ -377,3 +377,113 @@ def test_ivfpq_topk_cell_pruned_adc_matches_pq_on_candidates(spark):
     # multi-probe result set per query is a (quality-) superset path:
     # still k-bounded, and every single-probe neighbor set stays valid
     assert len(got2) <= 4 * 5
+
+
+def test_incremental_lsh_probe_verdicts(spark):
+    """Planted semantics: exact dup -> is_dup with the right match; near
+    dup above threshold -> is_dup; unique doc -> 0 candidates; batch docs
+    never pair with each other (the corpus-vs-corpus pass is NOT redone)."""
+    from newsfeeds_crawler_spark.operators.dedup import incremental_lsh_probe
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [
+            (10, boiler),
+            (11, boiler + " extra tail words here"),
+            (12, "completely different existing text about spark shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, boiler),  # exact dup of 10 (and near 11)
+            (101, "unique new content nothing shares any shingle with it"),
+            (102, boiler),  # identical to 100 — must NOT match 100
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in incremental_lsh_probe(
+            corpus, batch, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert set(out) == {100, 101, 102}
+    assert out[100].is_dup and out[100].match_id == 10
+    assert out[100].match_jaccard == 1.0
+    assert out[102].is_dup and out[102].match_id == 10  # not 100
+    assert not out[101].is_dup and out[101].n_candidates == 0
+    assert out[101].match_id is None and out[101].match_jaccard is None
+    assert out[100].n_candidates >= 1
+
+
+def test_incremental_probe_bucketed_band_index_zero_store_exchange(
+    spark, tmp_path
+):
+    """The production index shape: the corpus' (id, band_key) frame
+    persists as a band_key-bucketed store; probing an epoch batch reads
+    the store with NO Exchange (only the batch side shuffles), and the
+    candidate set equals the in-memory probe's."""
+    from newsfeeds_crawler_spark.functions.text import shingles
+    from newsfeeds_crawler_spark.operators.dedup import banded_ids
+    from newsfeeds_crawler_spark.tablestore.bucketed import (
+        probe_bucketed,
+        write_bucketed_table,
+    )
+
+    texts = [
+        (i, f"doc number {i} talks about topic {i % 7} in shared words "
+             f"common tail phrase for group {i % 5}")
+        for i in range(60)
+    ]
+    corpus = spark.createDataFrame(texts, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1000 + i, t) for i, t in [(0, texts[3][1]), (1, texts[8][1])]],
+        "doc_id long, text string",
+    )
+
+    def grams(df):
+        return df.select(
+            F.col("doc_id").alias("id"),
+            shingles(F.col("text"), 3).alias("grams"),
+        )
+
+    write_bucketed_table(
+        banded_ids(grams(corpus)).withColumnRenamed("id", "old_id"),
+        "band_index_test",
+        key="band_key",
+        num_buckets=8,
+        path=str(tmp_path / "band_idx"),
+    )
+    nb = banded_ids(grams(batch)).withColumnRenamed("id", "new_id")
+    # a tiny batch would broadcast (also store-shuffle-free — the small-
+    # epoch shape); force the bucketed join path to pin the big-epoch one
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probed = probe_bucketed(
+            nb, "band_index_test", key="band_key", how="inner"
+        )
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+        # exactly TWO Exchanges, both on the batch side: the signature
+        # aggregate's shuffle and the alignment repartition. A shuffled
+        # store would add a third (the bucketed scan satisfies the join's
+        # distribution requirement, so none appears above it).
+        assert plan.count("Exchange") == 2
+        got = sorted(
+            (r.new_id, r.old_id)
+            for r in probed.select("new_id", "old_id").distinct().collect()
+        )
+        ob = banded_ids(grams(corpus)).withColumnRenamed("id", "old_id")
+        want = sorted(
+            (r.new_id, r.old_id)
+            for r in nb.join(ob, "band_key")
+            .select("new_id", "old_id")
+            .distinct()
+            .collect()
+        )
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE band_index_test")
