@@ -34,13 +34,20 @@ partitionings, DuckDB-mirrorable):
 100 TB shape: step 1–2 are map-only (work ∝ total tokens × 1, each token
 enters ``window`` grams but the gram build is per-row array ops, no
 shuffle); step 3 is one aggregate ∝ distinct window fingerprints with
-map-side combine (repetitive corpora — the target — collapse hard); the
-count join-back shuffles on the fingerprint, the SAME key the aggregate
-just produced, so exchange reuse keeps it one shuffle; the interval merge
-is one shuffle on doc_id. Nothing is ever broadcast or collected; skew is
-bounded by the hottest fingerprint's partition, and only rows with c ≥ 2
-survive into the merge. Reference analog: none (the reference crawls; this
-extends the engine toward the LLM-curation use the brief names).
+map-side combine (repetitive corpora — the target — collapse hard). The
+count join-back: below broadcast size the c ≥ 2 fingerprint set (only the
+DUPLICATED hashes — the filter pushes into the aggregate side) broadcasts
+and the window frame streams map-side (the plan local runs show); past
+broadcast size AQE degrades to a shuffle on ``gh`` — the same key the
+aggregate just produced, so exchange reuse applies. The window frame is
+deliberately RECOMPUTED for the probe branch rather than checkpointed
+(same trade as ``segment_dedup``): one extra tokenize+hash pass is CPU at
+memory-bandwidth rates, while materializing |tokens| rows of state at
+100 TB costs more I/O than it saves. The interval merge is one shuffle on
+doc_id, over c ≥ 2 rows only. Nothing collects to the driver; skew is
+bounded by the hottest fingerprint's partition. Reference analog: none
+(the reference crawls; this extends the engine toward the LLM-curation
+use the brief names).
 """
 
 from __future__ import annotations
