@@ -873,6 +873,48 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_iter(edges, iters=3)
 
 
+def q_politeness_adaptive_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-host crawl delay (operators/quantiles.
+    adaptive_crawl_delay): exact p95 of synthetic per-host fetch
+    latencies (arithmetic on event ids, per-host ranges spanning three
+    regimes so BOTH clamps and the interior rule bind), delay =
+    clamp(2·p95, 500, 30000) ms — all integer, hash-exact."""
+    from newsfeeds_crawler_spark.operators.quantiles import (
+        adaptive_crawl_delay,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    lat = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string")).alias(
+            "host"
+        ),
+        (
+            (F.col("event_id") * 7919)
+            % (F.lit(100) + ((F.col("user_id") % 50) % 7) * F.lit(8000))
+        ).cast("bigint").alias("latency_ms"),
+    )
+    return adaptive_crawl_delay(lat)
+
+
+def q_image_aspect_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-bucketed training batch/shard manifest (operators/
+    multimodal.aspect_bucket_shards): the same deterministic (w, h)
+    derivation as image_metadata_verdict, quarter-unit aspect classes,
+    32-image batches, 8 batches per shard — exact window arithmetic."""
+    from newsfeeds_crawler_spark.operators.multimodal import (
+        aspect_bucket_shards,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    img = d.select(
+        did.alias("image_id"),
+        (F.lit(16) + (did * 37) % 1009).cast("int").alias("w"),
+        (F.lit(16) + (did * 61) % 1009).cast("int").alias("h"),
+    )
+    return aspect_bucket_shards(img)
+
+
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3-style benchmark decontamination (operators/curation.py): the
     doc_id % 37 slice is the benchmark set; training docs are flagged when
@@ -1615,6 +1657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_distinct_hll": q_frontier_distinct_hll,
         "frontier_hot_hosts": q_frontier_hot_hosts,
         "text_length_quantiles": q_text_length_quantiles,
+        "politeness_adaptive_delay": q_politeness_adaptive_delay,
+        "image_aspect_shards": q_image_aspect_shards,
         "text_length_sketch_quantiles": q_text_length_sketch_quantiles,
         "text_decontaminate": q_text_decontaminate,
         "corpus_sample": q_corpus_sample,
@@ -2904,6 +2948,46 @@ def oracle_sql() -> dict[str, str]:
                        SELECT e.dst AS node, (d.depth + 1)::INT AS depth
                        FROM e JOIN r2 d ON e.src = d.node) GROUP BY 1)
             SELECT node, depth FROM r3
+        """,
+        "politeness_adaptive_delay": """
+            WITH lat AS (
+                SELECT 'h' || (user_id % 50)::VARCHAR AS host,
+                       ((event_id * 7919)
+                        % (100 + ((user_id % 50) % 7) * 8000))::BIGINT
+                           AS latency_ms
+                FROM events),
+            r AS (SELECT host, latency_ms,
+                         row_number() OVER (
+                             PARTITION BY host
+                             ORDER BY latency_ms)::BIGINT AS rn,
+                         count(*) OVER (PARTITION BY host)::BIGINT AS n
+                  FROM lat)
+            SELECT host, n AS n_samples, latency_ms AS p95_ms,
+                   least(greatest(latency_ms * 2, 500), 30000)::BIGINT
+                       AS delay_ms
+            FROM r WHERE rn = (95 * n + 99) // 100
+        """,
+        "image_aspect_shards": """
+            WITH img AS (
+                SELECT doc_id AS image_id,
+                       (16 + (doc_id * 37) % 1009)::INT AS w,
+                       (16 + (doc_id * 61) % 1009)::INT AS h
+                FROM documents),
+            b AS (SELECT image_id,
+                         least(greatest((w * 4) // h, 1), 8)::INT AS bucket
+                  FROM img),
+            p AS (SELECT image_id, bucket,
+                         (row_number() OVER (
+                              PARTITION BY bucket
+                              ORDER BY image_id) - 1)::BIGINT
+                             AS pos_in_bucket,
+                         count(*) OVER (PARTITION BY bucket)::BIGINT AS nb
+                  FROM b)
+            SELECT image_id::BIGINT AS image_id, bucket, pos_in_bucket,
+                   (pos_in_bucket // 32)::BIGINT AS batch,
+                   ((pos_in_bucket // 32) // 8)::BIGINT AS shard,
+                   ((pos_in_bucket // 32) < (nb // 32)) AS batch_is_full
+            FROM p
         """,
         "text_length_quantiles": """
             WITH r AS (SELECT lang, n_chars,

@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "frontier_distinct_hll",
     "frontier_hot_hosts",
     "text_length_quantiles",
+    "politeness_adaptive_delay",
+    "image_aspect_shards",
     "text_length_sketch_quantiles",
     "image_decode_roundtrip",
     "image_resize_roundtrip",

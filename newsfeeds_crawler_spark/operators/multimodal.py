@@ -305,3 +305,69 @@ def image_metadata_verdict(
         reason.alias("reason"),
         (reason == F.lit("ok")).alias("keep"),
     )
+
+
+def aspect_bucket_shards(
+    df: DataFrame,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+    batch_size: int = 32,
+    batches_per_shard: int = 8,
+    quarters_min: int = 1,
+    quarters_max: int = 8,
+) -> DataFrame:
+    """Aspect-bucketed batch/shard manifest for image training — the
+    NovelAI/SDXL aspect-bucketing practice (Podell et al. 2023 §2.3 cite
+    bucketed aspect-ratio training; WebDataset-style shards group the
+    batches): images are classed by quantized aspect ratio so a batch
+    never mixes shapes, then laid out into fixed-size batches and shards
+    in deterministic id order.
+
+    ``bucket`` = clamp((w·4) div h, quarters_min, quarters_max) — the
+    aspect ratio in quarter units, integer floor division. Within a
+    bucket, images order by id; ``batch`` = pos div batch_size,
+    ``shard`` = batch div batches_per_shard, and ``batch_is_full`` marks
+    batches that reached ``batch_size`` (the tail batch of each bucket is
+    the one a loader drops or pads). All exact integer window arithmetic
+    — bit-identical on any engine/partitioning.
+
+    100 TB shape: one shuffle keyed ``bucket`` (a handful of partitions —
+    salt by (bucket, id range) blocks with a two-level prefix sum if a
+    single bucket outgrows an executor, the same scale note as
+    ``packing.pack_sequences``), then map-only arithmetic. No Python, no
+    decode — this runs on metadata before any pixel is touched.
+    """
+    iid = F.col(id_col)
+    bucket = F.least(
+        F.greatest(
+            F.expr(f"({w_col} * 4) div {h_col}"),
+            F.lit(quarters_min),
+        ),
+        F.lit(quarters_max),
+    ).cast("int")
+    base = df.select(
+        iid.cast("bigint").alias("image_id"), bucket.alias("bucket")
+    )
+    w = Window.partitionBy("bucket").orderBy("image_id")
+    wn = Window.partitionBy("bucket")
+    pos = (F.row_number().over(w) - 1).cast("bigint")
+    n_bucket = F.count(F.lit(1)).over(wn).cast("bigint")
+    with_pos = base.select(
+        "image_id",
+        "bucket",
+        pos.alias("pos_in_bucket"),
+        n_bucket.alias("n_in_bucket"),
+    )
+    batch = F.expr(f"pos_in_bucket div {batch_size}").cast("bigint")
+    full_batches = F.expr(f"n_in_bucket div {batch_size}").cast("bigint")
+    return with_pos.select(
+        "image_id",
+        "bucket",
+        "pos_in_bucket",
+        batch.alias("batch"),
+        F.expr(
+            f"(pos_in_bucket div {batch_size}) div {batches_per_shard}"
+        ).cast("bigint").alias("shard"),
+        (batch < full_batches).alias("batch_is_full"),
+    )

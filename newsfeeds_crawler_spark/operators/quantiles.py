@@ -126,3 +126,46 @@ def grouped_quantiles_exact(
         .filter(F.col("rn") == F.expr("(q_pct * n + 99) div 100"))
         .select(group_col, "q_pct", value_col, "n")
     )
+
+
+def adaptive_crawl_delay(
+    latencies: DataFrame,
+    host_col: str = "host",
+    ms_col: str = "latency_ms",
+    q_pct: int = 95,
+    mult: int = 2,
+    min_ms: int = 500,
+    max_ms: int = 30000,
+) -> DataFrame:
+    """Adaptive per-host politeness delay from observed fetch latencies:
+    ``delay_ms = clamp(mult × p{q_pct}(latency), min_ms, max_ms)`` — the
+    standard server-load-respecting heuristic (e.g. the `Crawl-delay`
+    guidance in IETF robots discussions and open crawlers like Heritrix
+    pace requests off recent response times; a host answering slowly gets
+    a longer delay, bounded both ways).
+
+    Composes :func:`grouped_quantiles_exact`, so the percentile is the
+    exact PERCENTILE_DISC rank selection — integer in, integer out, no
+    interpolation — and the clamp is integer arithmetic: bit-identical on
+    any engine/partitioning, hence the gate hash-checks. The output
+    column set matches the engine's hosts-dimension delay column
+    (``delay_ms``), so the frame joins straight onto the politeness
+    scheduler as an override.
+
+    100 TB shape: one per-host sort window ∝ |observations| (bounded by
+    the hottest host; a latency log is naturally time-bucketed upstream,
+    which caps it), then map-only arithmetic. The histogram-register
+    sketch (:func:`hist_quantiles`) is the documented handoff when even
+    per-host sorts stop being affordable.
+    """
+    q = grouped_quantiles_exact(latencies, host_col, ms_col, (q_pct,))
+    raw = F.col(ms_col).cast("bigint") * F.lit(mult)
+    return q.select(
+        F.col(host_col),
+        F.col("n").alias("n_samples"),
+        F.col(ms_col).cast("bigint").alias(f"p{q_pct}_ms"),
+        F.least(
+            F.greatest(raw, F.lit(min_ms).cast("bigint")),
+            F.lit(max_ms).cast("bigint"),
+        ).alias("delay_ms"),
+    )
