@@ -976,6 +976,26 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators/snapshotdiff.py): two synthetic
+    snapshots of documents — ids % 7 == 1 absent from OLD (added),
+    % 7 == 2 absent from NEW (removed), % 7 == 3 edited in NEW
+    (modified) — classified per id via portable fingerprints and one
+    full-outer join. Every class fires; hash-exact."""
+    from newsfeeds_crawler_spark.operators.snapshotdiff import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    old = d.filter(did % 7 != 1)
+    new = d.filter(did % 7 != 2).select(
+        "doc_id",
+        F.when(did % 7 == 3, F.concat(F.col("text"), F.lit(" rev2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new)
+
+
 def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-dashboard rollup: per (event_type, user-bucket) counts with
     subtotal and grand-total rows (ROLLUP grouping sets)."""
@@ -1668,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_quality": q_text_lang_quality,
         "text_bpe_tokens": q_text_bpe_tokens,
         "metrics_rollup": q_metrics_rollup,
+        "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "caption_consistency": q_caption_consistency,
         "caption_consolidation": q_caption_consolidation,
@@ -2948,6 +2969,23 @@ def oracle_sql() -> dict[str, str]:
                        SELECT e.dst AS node, (d.depth + 1)::INT AS depth
                        FROM e JOIN r2 d ON e.src = d.node) GROUP BY 1)
             SELECT node, depth FROM r3
+        """,
+        "corpus_snapshot_diff": f"""
+            WITH o AS (SELECT doc_id, {fingerprint_sql('text')} AS old_fp
+                       FROM documents WHERE doc_id % 7 <> 1),
+            n AS (SELECT doc_id,
+                         {fingerprint_sql(
+                             "CASE WHEN doc_id % 7 = 3"
+                             " THEN text || ' rev2' ELSE text END")}
+                             AS new_fp
+                  FROM documents WHERE doc_id % 7 <> 2)
+            SELECT coalesce(o.doc_id, n.doc_id)::BIGINT AS doc_id,
+                   o.old_fp, n.new_fp,
+                   CASE WHEN o.old_fp IS NULL THEN 'added'
+                        WHEN n.new_fp IS NULL THEN 'removed'
+                        WHEN o.old_fp <> n.new_fp THEN 'modified'
+                        ELSE 'unchanged' END AS change
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         """,
         "politeness_adaptive_delay": """
             WITH lat AS (

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "text_lang_quality",
     "text_bpe_tokens",
     "metrics_rollup",
+    "corpus_snapshot_diff",
     "dedup_rate_by_source",
     "robots_parse",
     "caption_consistency",
