@@ -976,6 +976,42 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining (operators/urlmine.url_templates): events-derived
+    URLs across three path families per host — a bounded /page/{n}
+    listing, an unbounded /cal/2024/d{n} calendar (the planted crawler
+    trap: distinct fan-out >= 50 flags it), and the dominant
+    /item{n}/v{n} content family. Top-3 templates per host by count."""
+    from newsfeeds_crawler_spark.operators.urlmine import url_templates
+
+    ev = _t(spark, sf_dir, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    url = F.concat(
+        F.lit("https://h"),
+        (uid % 25).cast("string"),
+        F.lit(".example.com"),
+        F.when(
+            eid % 5 == 0,
+            F.concat(F.lit("/page/"), (eid % 97).cast("string")),
+        )
+        .when(
+            eid % 5 == 1,
+            F.concat(F.lit("/cal/2024/d"), eid.cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/item"),
+                (eid % 50).cast("string"),
+                F.lit("/v"),
+                uid.cast("string"),
+            )
+        ),
+    )
+    return url_templates(
+        ev.select(url.alias("url")), k=3, trap_min_distinct=50
+    )
+
+
 def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/snapshotdiff.py): two synthetic
     snapshots of documents — ids % 7 == 1 absent from OLD (added),
@@ -1689,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "metrics_rollup": q_metrics_rollup,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
+        "url_template_mining": q_url_template_mining,
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "caption_consistency": q_caption_consistency,
         "caption_consolidation": q_caption_consolidation,
@@ -2969,6 +3006,36 @@ def oracle_sql() -> dict[str, str]:
                        SELECT e.dst AS node, (d.depth + 1)::INT AS depth
                        FROM e JOIN r2 d ON e.src = d.node) GROUP BY 1)
             SELECT node, depth FROM r3
+        """,
+        "url_template_mining": """
+            WITH u AS (
+                SELECT 'https://h' || (user_id % 25)::VARCHAR
+                       || '.example.com'
+                       || CASE WHEN event_id % 5 = 0
+                               THEN '/page/' || (event_id % 97)::VARCHAR
+                               WHEN event_id % 5 = 1
+                               THEN '/cal/2024/d' || event_id::VARCHAR
+                               ELSE '/item' || (event_id % 50)::VARCHAR
+                                    || '/v' || user_id::VARCHAR END AS url
+                FROM events),
+            b AS (SELECT regexp_extract(url,
+                             '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                         regexp_replace(regexp_replace(url,
+                             '^[a-z][a-z0-9+.-]*://[^/?#]*', ''),
+                             '[0-9]+', '{n}', 'g') AS template,
+                         url
+                  FROM u),
+            c AS (SELECT host, template, count(*)::BIGINT AS n_urls,
+                         count(DISTINCT url)::BIGINT AS n_distinct_urls
+                  FROM b GROUP BY 1, 2),
+            r AS (SELECT host, template, n_urls, n_distinct_urls,
+                         row_number() OVER (PARTITION BY host
+                                            ORDER BY n_urls DESC, template)
+                             AS rank
+                  FROM c)
+            SELECT host, template, n_urls, n_distinct_urls,
+                   rank::INT AS rank, (n_distinct_urls >= 50) AS trap
+            FROM r WHERE rank <= 3
         """,
         "corpus_snapshot_diff": f"""
             WITH o AS (SELECT doc_id, {fingerprint_sql('text')} AS old_fp

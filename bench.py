@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "text_bpe_tokens",
     "metrics_rollup",
     "corpus_snapshot_diff",
+    "url_template_mining",
     "dedup_rate_by_source",
     "robots_parse",
     "caption_consistency",
