@@ -28,6 +28,7 @@ from newsfeeds_crawler_spark.functions.dedup import (
     tokens_sql,
 )
 from newsfeeds_crawler_spark.functions.predicates import should_fetch
+from newsfeeds_crawler_spark.operators.revisit import qlog2_sql
 from newsfeeds_crawler_spark.functions.text import (
     STOPWORDS_DE,
     STOPWORDS_EN,
@@ -896,6 +897,33 @@ def q_politeness_adaptive_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adaptive_crawl_delay(lat)
 
 
+def q_feed_revisit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revisit scheduling from observed change rates (operators/revisit.
+    revisit_schedule): the Cho & Garcia-Molina change-frequency estimator
+    -ln((n-X+1/2)/(n+1/2)) computed in integer-quantized log2 (bin/div
+    arithmetic — cross-engine bit-exact, see operators/revisit.py), with
+    revisit interval ∝ 1/rate clamped both ways. Synthetic per-feed visit
+    logs over events span five classes: never-changed (max clamp binds),
+    always-changed (min clamp binds), and three interior periodic rates."""
+    from newsfeeds_crawler_spark.operators.revisit import revisit_schedule
+
+    ev = _t(spark, sf_dir, "events")
+    fid = (F.col("user_id") % 200).cast("bigint")
+    cls = fid % 5
+    eid = F.col("event_id")
+    changed = (
+        F.when(cls == 0, F.lit(0))
+        .when(cls == 1, F.lit(1))
+        .otherwise(F.when(eid % cls == 0, F.lit(1)).otherwise(F.lit(0)))
+    ).cast("bigint")
+    hist = ev.select(
+        fid.alias("feed_id"),
+        (eid % 997).cast("bigint").alias("epoch"),
+        changed.alias("changed"),
+    )
+    return revisit_schedule(hist)
+
+
 def q_image_aspect_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-bucketed training batch/shard manifest (operators/
     multimodal.aspect_bucket_shards): the same deterministic (w, h)
@@ -1714,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_hot_hosts": q_frontier_hot_hosts,
         "text_length_quantiles": q_text_length_quantiles,
         "politeness_adaptive_delay": q_politeness_adaptive_delay,
+        "feed_revisit_schedule": q_feed_revisit_schedule,
         "image_aspect_shards": q_image_aspect_shards,
         "text_length_sketch_quantiles": q_text_length_sketch_quantiles,
         "text_decontaminate": q_text_decontaminate,
@@ -3071,6 +3100,35 @@ def oracle_sql() -> dict[str, str]:
                    least(greatest(latency_ms * 2, 500), 30000)::BIGINT
                        AS delay_ms
             FROM r WHERE rn = (95 * n + 99) // 100
+        """,
+        "feed_revisit_schedule": f"""
+            WITH h AS (
+                SELECT (user_id % 200)::BIGINT AS feed_id,
+                       (event_id % 997)::BIGINT AS epoch,
+                       (CASE WHEN (user_id % 200) % 5 = 0 THEN 0
+                             WHEN (user_id % 200) % 5 = 1 THEN 1
+                             WHEN event_id % ((user_id % 200) % 5) = 0
+                                  THEN 1
+                             ELSE 0 END)::BIGINT AS changed
+                FROM events),
+            a AS (SELECT feed_id, count(*)::BIGINT AS n_visits,
+                         sum(changed)::BIGINT AS n_changed,
+                         max(epoch)::BIGINT AS last_epoch
+                  FROM h GROUP BY 1),
+            r AS (SELECT feed_id, n_visits, n_changed,
+                         ({qlog2_sql('n_visits * 2 + 1')}
+                          - {qlog2_sql('(n_visits - n_changed) * 2 + 1')}
+                         )::BIGINT AS rate_q,
+                         last_epoch
+                  FROM a),
+            i AS (SELECT feed_id, n_visits, n_changed, rate_q, last_epoch,
+                         least(greatest(4096 // greatest(rate_q, 1), 1),
+                               1024)::BIGINT AS interval_epochs
+                  FROM r)
+            SELECT feed_id, n_visits, n_changed, rate_q, interval_epochs,
+                   (last_epoch + interval_epochs)::BIGINT
+                       AS next_fetch_epoch
+            FROM i
         """,
         "image_aspect_shards": """
             WITH img AS (

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "frontier_hot_hosts",
     "text_length_quantiles",
     "politeness_adaptive_delay",
+    "feed_revisit_schedule",
     "image_aspect_shards",
     "text_length_sketch_quantiles",
     "image_decode_roundtrip",
