@@ -1427,6 +1427,60 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parse UDTF (operators/sitemap.sitemap_entries): synthetic
+    sitemaps.org documents built per doc_id — urlset docs, sitemapindex
+    docs (doc_id % 7 == 1), and an invalid-XML class (doc_id % 7 == 0,
+    parse fails → zero rows) — parsed with the real Arrow-vectorized XML
+    UDTF and exploded to entry rows. lastmod is present on 2/3 of entries
+    (null-ts P1 semantics on the rest). The DuckDB oracle reconstructs
+    the expected entries directly from the generative rule — it never
+    parses XML — so the parser is checked against independent ground
+    truth, hash-exact including the timestamps."""
+    from newsfeeds_crawler_spark.operators.sitemap import sitemap_entries
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    fmt = "'yyyy-MM-dd''T''HH:mm:ss''Z'''"
+    lastmod = (
+        "case when (doc_id + j) % 3 != 0 then "
+        "concat('<lastmod>', date_format(timestamp'2026-03-01 00:00:00' "
+        "+ make_dt_interval(cast((doc_id*31 + j*7) % 28 as int), 0, 0, "
+        f"cast((doc_id*11 + j*13) % 86400 as int)), {fmt}), "
+        "'</lastmod>') else '' end"
+    )
+    url_entry = (
+        "concat('<url><loc>https://h', cast(doc_id % 50 as string), "
+        "'.example.com/p', cast(doc_id as string), '/', cast(j as string), "
+        f"'</loc>', {lastmod}, '</url>')"
+    )
+    sm_entry = (
+        "concat('<sitemap><loc>https://h', cast(doc_id % 50 as string), "
+        "'.example.com/sm', cast(doc_id as string), '_', cast(j as string), "
+        f"'.xml</loc>', {lastmod}, '</sitemap>')"
+    )
+    ns = 'xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\"'
+    body = (
+        "case when doc_id % 7 = 0 then '<urlset xmlns=' "
+        f"when doc_id % 7 = 1 then concat('<sitemapindex {ns}>', "
+        "array_join(transform(sequence(0, cast(doc_id % 4 as int)), "
+        f"j -> {sm_entry}), ''), '</sitemapindex>') "
+        f"else concat('<urlset {ns}>', "
+        "array_join(transform(sequence(0, cast(doc_id % 4 as int)), "
+        f"j -> {url_entry}), ''), '</urlset>') end"
+    )
+    docs = d.selectExpr("doc_id", f"({body}) as body")
+    out = sitemap_entries(docs, "body", ("doc_id",))
+    return out.select(
+        "doc_id",
+        "kind",
+        F.col("entry_idx").cast("int").alias("entry_idx"),
+        "loc",
+        "lastmod_ts",
+    )
+
+
 def q_caption_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caption↔image consistency score (multimodal quality column): each
     document gets a deterministic synthetic phash and a caption carrying
@@ -1761,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_metadata_verdict": q_image_metadata_verdict,
         "image_decode_roundtrip": q_image_decode_roundtrip,
         "robots_parse": q_robots_parse,
+        "sitemap_parse": q_sitemap_parse,
         "image_resize_roundtrip": q_image_resize_roundtrip,
         "image_phash_neardup": q_image_phash_neardup,
         "frame_sample": q_frame_sample,
@@ -2207,6 +2262,32 @@ def oracle_sql() -> dict[str, str]:
             "'/p' || (doc_id % 5)::VARCHAR AS disallow_csv "
             "FROM documents WHERE doc_id < 512"
         ),
+        "sitemap_parse": """
+            WITH d AS (SELECT doc_id::BIGINT AS doc_id FROM documents
+                       WHERE doc_id % 7 <> 0),
+            e AS (SELECT doc_id,
+                         unnest(generate_series(0, doc_id % 4)) AS j
+                  FROM d)
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 1 THEN 'sitemapindex'
+                        ELSE 'urlset' END AS kind,
+                   j::INT AS entry_idx,
+                   CASE WHEN doc_id % 7 = 1
+                        THEN 'https://h' || (doc_id % 50)::VARCHAR
+                             || '.example.com/sm' || doc_id::VARCHAR
+                             || '_' || j::VARCHAR || '.xml'
+                        ELSE 'https://h' || (doc_id % 50)::VARCHAR
+                             || '.example.com/p' || doc_id::VARCHAR
+                             || '/' || j::VARCHAR END AS loc,
+                   CASE WHEN (doc_id + j) % 3 <> 0
+                        THEN TIMESTAMP '2026-03-01 00:00:00'
+                             + ((doc_id*31 + j*7) % 28)
+                               * INTERVAL '1 day'
+                             + ((doc_id*11 + j*13) % 86400)
+                               * INTERVAL '1 second'
+                        ELSE NULL END AS lastmod_ts
+            FROM e
+        """,
         "url_canonicalize": """
             SELECT c_custkey,
                    'http://host' || (c_custkey % 20) || '.example.com/p/'

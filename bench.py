@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "url_template_mining",
     "dedup_rate_by_source",
     "robots_parse",
+    "sitemap_parse",
     "caption_consistency",
     "caption_consolidation",
     "link_bfs_depth",
