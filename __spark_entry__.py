@@ -961,6 +961,26 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_stratified(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/importance.py): hashed-bigram
+    log-likelihood ratio of a target slice (doc_id % 37 == 1, the same
+    in-domain convention as text_decontaminate's benchmark slice) vs the
+    whole corpus, per-bucket log-ratios quantized to micro-nats before
+    the int64 dot product, then deterministic Gumbel-top-k selection
+    (k=200) keyed on score + hash-derived Gumbel noise. Hash-exact: the
+    only floats are one ln per bucket and one per-id Gumbel draw, both
+    rounded to integers pre-sum (the curation bigram-LM discipline)."""
+    from newsfeeds_crawler_spark.operators.importance import (
+        importance_resample,
+        importance_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = d.filter(F.col("doc_id") % 37 == 1)
+    scored = importance_weights(d, target)
+    return importance_resample(scored, 200)
+
+
 def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained add-one-smoothed bigram LM scoring (CCNet-style
     perplexity ranking, operators/curation.py): per-gram log-probs
@@ -1802,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "corpus_sample": q_corpus_sample,
         "text_bigram_lm": q_text_bigram_lm,
+        "corpus_importance_resample": q_corpus_importance_resample,
         "corpus_mixture_weights": q_corpus_mixture_weights,
         "text_tfidf_topk": q_text_tfidf_topk,
         "text_lang_quality": q_text_lang_quality,
@@ -3020,6 +3041,63 @@ def oracle_sql() -> dict[str, str]:
                                   WHEN band = 'mid' THEN {SAMPLE_RATE_MID}
                                   ELSE {SAMPLE_RATE_LOW} END) AS kept
             FROM b
+        """,
+        "corpus_importance_resample": f"""
+            WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(CASE WHEN len(toks) >= 2 THEN
+                             list_transform(
+                                 generate_series(0, len(toks) - 2),
+                                 __i -> array_to_string(
+                                     toks[__i + 1 : __i + 2], ' '))
+                         ELSE CAST([] AS VARCHAR[]) END) AS gram
+                  FROM t),
+            occ AS (SELECT doc_id,
+                           (({fingerprint_sql('gram')}) % 4096)::INT
+                               AS feat,
+                           count(*)::BIGINT AS c_doc
+                    FROM g GROUP BY 1, 2),
+            cr AS (SELECT feat, sum(c_doc)::BIGINT AS c_r
+                   FROM occ GROUP BY 1),
+            ct AS (SELECT feat, sum(c_doc)::BIGINT AS c_t
+                   FROM occ WHERE doc_id % 37 = 1 GROUP BY 1),
+            tot AS (SELECT ((SELECT sum(c_r) FROM cr) + 4096)::DOUBLE
+                               AS den_r,
+                           (coalesce((SELECT sum(c_t) FROM ct), 0)
+                            + 4096)::DOUBLE AS den_t),
+            w AS (SELECT cr.feat,
+                         round(ln(((coalesce(c_t, 0) + 1)::DOUBLE * den_r)
+                                  / ((c_r + 1)::DOUBLE * den_t))
+                               * 1000000, 0)::BIGINT AS w_q
+                  FROM cr LEFT JOIN ct USING (feat) CROSS JOIN tot),
+            pd AS (SELECT doc_id, sum(c_doc)::BIGINT AS n_feats,
+                          sum(c_doc * w_q)::BIGINT AS score_q
+                   FROM occ JOIN w USING (feat) GROUP BY 1),
+            r AS (SELECT d.doc_id,
+                         coalesce(n_feats, 0)::BIGINT AS n_feats,
+                         coalesce(score_q, 0)::BIGINT AS score_q
+                  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id),
+            k AS (SELECT doc_id, n_feats, score_q,
+                         (CASE WHEN n_feats > 0 THEN
+                             round(score_q::DOUBLE / n_feats / 1000000, 6)
+                          ELSE 0.0 END) AS avg_logratio,
+                         round(-ln(-ln(
+                             (({fingerprint_sql(
+                                 "'g#' || doc_id::VARCHAR")})
+                              % 2147483647 + 1)::DOUBLE
+                             / 2147483649.0))
+                               * 1000000, 0)::BIGINT AS gumbel_q
+                  FROM r),
+            s AS (SELECT doc_id, n_feats, score_q, avg_logratio, gumbel_q,
+                         (score_q + gumbel_q)::BIGINT AS key_q,
+                         row_number() OVER (
+                             ORDER BY score_q + gumbel_q DESC, doc_id
+                         )::INT AS rank
+                  FROM k)
+            SELECT doc_id, n_feats, score_q, avg_logratio, gumbel_q,
+                   key_q, rank
+            FROM s WHERE rank <= 200
         """,
         "text_bigram_lm": f"""
             WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "text_decontaminate",
     "corpus_sample",
     "text_bigram_lm",
+    "corpus_importance_resample",
     "corpus_mixture_weights",
     "text_lang_quality",
     "text_bpe_tokens",
