@@ -961,6 +961,29 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_stratified(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (operators/compaction.py): a
+    synthetic file manifest over orders (40 partitions, deterministic
+    sizes spanning keep and compact tiers) planned with the Iceberg
+    binPack rule — files ≥ ¾ target kept, smaller ones next-fit
+    bin-packed per partition in file order via the sequential
+    applyInPandas kernel. The DuckDB oracle replays the identical walk
+    as a recursive CTE, pinning the stateful group assignment exactly."""
+    from newsfeeds_crawler_spark.operators.compaction import compaction_plan
+
+    o = _t(spark, sf_dir, "orders")
+    manifest = o.select(
+        F.concat(F.lit("p"), (F.col("o_orderkey") % 40).cast("string")).alias(
+            "part"
+        ),
+        F.col("o_orderkey").cast("bigint").alias("file_id"),
+        (((F.col("o_orderkey") * 7919) % 1_300_000) + 1000)
+        .cast("bigint")
+        .alias("bytes"),
+    )
+    return compaction_plan(manifest)
+
+
 def q_corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (operators/importance.py): hashed-bigram
     log-likelihood ratio of a target slice (doc_id % 37 == 1, the same
@@ -1823,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "text_bigram_lm": q_text_bigram_lm,
         "corpus_importance_resample": q_corpus_importance_resample,
+        "corpus_compaction_plan": q_corpus_compaction_plan,
         "corpus_mixture_weights": q_corpus_mixture_weights,
         "text_tfidf_topk": q_text_tfidf_topk,
         "text_lang_quality": q_text_lang_quality,
@@ -3041,6 +3065,37 @@ def oracle_sql() -> dict[str, str]:
                                   WHEN band = 'mid' THEN {SAMPLE_RATE_MID}
                                   ELSE {SAMPLE_RATE_LOW} END) AS kept
             FROM b
+        """,
+        "corpus_compaction_plan": """
+            WITH RECURSIVE m AS (
+                SELECT 'p' || (o_orderkey % 40)::VARCHAR AS part,
+                       o_orderkey::BIGINT AS file_id,
+                       (((o_orderkey * 7919) % 1300000) + 1000)::BIGINT
+                           AS bytes
+                FROM orders),
+            k AS (SELECT part, file_id, bytes, 'keep' AS action,
+                         NULL::BIGINT AS group_id
+                  FROM m WHERE bytes >= 750000),
+            c AS (SELECT part, file_id, bytes,
+                         row_number() OVER (PARTITION BY part
+                                            ORDER BY file_id)::BIGINT AS rn
+                  FROM m WHERE bytes < 750000),
+            walk AS (
+                SELECT part, file_id, bytes, rn,
+                       0::BIGINT AS group_id, bytes AS acc
+                FROM c WHERE rn = 1
+                UNION ALL
+                SELECT c.part, c.file_id, c.bytes, c.rn,
+                       CASE WHEN w.acc + c.bytes > 1000000
+                            THEN w.group_id + 1 ELSE w.group_id END,
+                       CASE WHEN w.acc + c.bytes > 1000000
+                            THEN c.bytes ELSE w.acc + c.bytes END
+                FROM c JOIN walk w
+                  ON c.part = w.part AND c.rn = w.rn + 1)
+            SELECT part, file_id, bytes, action, group_id FROM k
+            UNION ALL
+            SELECT part, file_id, bytes, 'compact' AS action, group_id
+            FROM walk
         """,
         "corpus_importance_resample": f"""
             WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks

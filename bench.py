@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "corpus_sample",
     "text_bigram_lm",
     "corpus_importance_resample",
+    "corpus_compaction_plan",
     "corpus_mixture_weights",
     "text_lang_quality",
     "text_bpe_tokens",
