@@ -119,6 +119,81 @@ def revisit_schedule(
     )
 
 
+def revisit_observations(
+    prior_feeds: DataFrame,
+    feeds: DataFrame,
+    epoch: int,
+    key_col: str = "feed_canon",
+    wm_col: str = "last_pub_ts",
+) -> DataFrame:
+    """One revisit-history increment from two runs' feeds tables:
+    (key, epoch, changed) rows ready to append to the history table that
+    :func:`revisit_schedule` aggregates.
+
+    ``changed = 1`` iff the persisted watermark moved between the runs
+    (null-safe inequality: a watermark appearing, vanishing, or changing
+    all count — the engine only advances watermarks when a feed's batch
+    completes, S7/A2, so watermark movement IS the observable "content
+    changed" signal the estimator needs). Feeds absent from the prior run
+    are omitted: a first visit is not a revisit observation (Cho & GM
+    count change observations over n *re*-accesses).
+
+    100 TB shape: one equi join on the feed key ∝ |feeds| — the feeds
+    dimension, never the frontier.
+    """
+    p = prior_feeds.select(
+        F.col(key_col).alias("__k"), F.col(wm_col).alias("__wm_prior")
+    )
+    n = feeds.select(
+        F.col(key_col).alias("__k"), F.col(wm_col).alias("__wm_new")
+    )
+    return n.join(p, "__k").select(
+        F.col("__k").alias(key_col),
+        F.lit(int(epoch)).cast("bigint").alias("epoch"),
+        (~F.col("__wm_new").eqNullSafe(F.col("__wm_prior")))
+        .cast("bigint")
+        .alias("changed"),
+    )
+
+
+def due_seeds(
+    seeds: DataFrame,
+    schedule: DataFrame,
+    run_epoch: int,
+    url_col: str = "url",
+    key_col: str = "feed_canon",
+) -> tuple[DataFrame, DataFrame]:
+    """Split a seed list by the revisit schedule → (due, deferred).
+
+    Seeds join the schedule on the canonical URL; a seed with no schedule
+    row (never revisited) is always due, one with
+    ``next_fetch_epoch > run_epoch`` is deferred to a later run. The due
+    frame feeds straight into ``CrawlEngine(seeds=...)`` — deferral is a
+    pre-engine gate, so the crawl itself (order, seen set, politeness) is
+    bit-identical to a run seeded with the due list directly.
+
+    100 TB shape: one equi join seeds ⋈ schedule on the feed key (both
+    ∝ |feeds|); AQE picks broadcast vs shuffle by size, same degrade path
+    as the hosts dimension.
+    """
+    from newsfeeds_crawler_spark.functions.urls import canonicalize_url
+
+    s = seeds.withColumn("__canon", canonicalize_url(F.col(url_col)))
+    sch = schedule.select(
+        F.col(key_col).alias("__canon"),
+        F.col("next_fetch_epoch").alias("__next"),
+    )
+    j = s.join(sch, "__canon", "left")
+    due = (
+        j.filter(F.col("__next").isNull() | (F.col("__next") <= int(run_epoch)))
+        .drop("__canon", "__next")
+    )
+    deferred = (
+        j.filter(F.col("__next") > int(run_epoch)).drop("__canon", "__next")
+    )
+    return due, deferred
+
+
 def qlog2_sql(x_sql: str, scale: int = QLOG2_SCALE, engine: str = "duckdb") -> str:
     """The qlog2 expression as SQL text for the given engine — kept next
     to the column implementation so the DuckDB oracle mirrors it exactly.
