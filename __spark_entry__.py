@@ -999,8 +999,8 @@ def q_corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    target = d.filter(F.col("doc_id") % 37 == 1)
-    scored = importance_weights(d, target)
+    target_ids = d.filter(F.col("doc_id") % 37 == 1).select("doc_id")
+    scored = importance_weights(d, target_ids=target_ids)
     return importance_resample(scored, 200)
 
 

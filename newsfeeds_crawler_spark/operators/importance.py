@@ -42,7 +42,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from newsfeeds_crawler_spark.functions.text import fingerprint64
+from newsfeeds_crawler_spark.functions.text import (
+    fingerprint64,
+    fingerprint64_arrow,
+)
 from newsfeeds_crawler_spark.operators.textquality import word_ngrams
 
 #: micro-nats — int64-exact per-doc dot products (same as curation.LOGP_QUANT)
@@ -71,7 +74,9 @@ def hashed_bigram_counts(
         )
         .select(
             "__id",
-            (fingerprint64(F.col("gram")) % F.lit(int(n_buckets)))
+            # Arrow-batched hash twin: bit-equal to the expression fold,
+            # ~10× less CPU on gram-sized strings (functions/text.py)
+            (fingerprint64_arrow(F.col("gram")) % F.lit(int(n_buckets)))
             .cast("int")
             .alias("feat"),
         )
@@ -82,17 +87,36 @@ def hashed_bigram_counts(
 
 def importance_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = N_BUCKETS,
+    target_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Per-raw-doc importance scores under the hashed bigram ratio model:
     (id, n_feats, score_q, avg_logratio). score_q is micro-nats, exact
     int64; avg_logratio = score_q / n_feats / 1e6 rounded to 6 dp (0.0
-    for docs with < 2 tokens)."""
-    occ_raw = hashed_bigram_counts(raw, id_col, text_col, n_buckets)
-    occ_t = hashed_bigram_counts(target, id_col, text_col, n_buckets)
+    for docs with < 2 tokens).
+
+    Pass EITHER ``target`` (a separate in-domain doc frame — tokenized
+    independently) or ``target_ids`` (one id column naming the in-domain
+    slice of ``raw`` — target counts then come from a semi-join on the
+    already-hashed raw features, so the corpus is tokenized exactly
+    once). The raw feature frame is locally checkpointed: it feeds both
+    the bucket totals and the per-doc dot product, and re-deriving the
+    explode+hash per consumer doubles the dominant cost (measured at
+    sf0.1: ~7.2 → ~3.5 s warm for the gate)."""
+    if (target is None) == (target_ids is None):
+        raise ValueError("pass exactly one of target / target_ids")
+    occ_raw = hashed_bigram_counts(
+        raw, id_col, text_col, n_buckets
+    ).localCheckpoint(eager=True)
+    if target_ids is not None:
+        occ_t = occ_raw.join(
+            target_ids.select(F.col(id_col).alias("__id")), "__id", "left_semi"
+        )
+    else:
+        occ_t = hashed_bigram_counts(target, id_col, text_col, n_buckets)
 
     c_r = occ_raw.groupBy("feat").agg(
         F.sum("c_doc").cast("bigint").alias("c_r")
@@ -162,7 +186,7 @@ def importance_weights(
 def gumbel_q(id_str: F.Column) -> F.Column:
     """Deterministic quantized Gumbel draw from a salted fingerprint:
     u = (fp mod M + 1)/(M + 2) ∈ (0,1), g_q = round(−ln(−ln u)·1e6)."""
-    fp = fingerprint64(F.concat(F.lit(GUMBEL_SALT), id_str))
+    fp = fingerprint64_arrow(F.concat(F.lit(GUMBEL_SALT), id_str))
     u = (fp % FP_MOD + 1).cast("double") / F.lit(float(FP_MOD + 2))
     return F.round(-F.log(-F.log(u)) * LOGW_QUANT, 0).cast("bigint")
 
