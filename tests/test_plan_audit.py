@@ -48,6 +48,9 @@ BNLJ_WHITELIST = {
     "text_bigram_lm": 1,          # vocab-size row (curation.py:227)
     "frontier_hot_hosts": 1,      # CMS width/depth scalar (sketches.py:278)
     "frontier_distinct_hll": 2,   # estimate + exact 1-row frames (sketches.py:200-201)
+    "corpus_importance_resample": 2,  # raw+target total rows combined, then
+                                      # joined onto the bucket weights
+                                      # (importance.py:120-143)
     # bounded model dimensions (k centroids / k² weights / 256-code LUT)
     "similarity_ivf_topk": 2,
     "similarity_ivf_multiprobe": 2,
