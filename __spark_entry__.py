@@ -1524,6 +1524,63 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (functions/robots.sitemap_urls):
+    generative robots bodies across four classes — none / one / two
+    mixed-case Sitemap lines / one with a trailing comment — extracted
+    with the group-independent regex (sitemaps.org robots extension);
+    the oracle reconstructs the expected URLs from the class rule."""
+    from newsfeeds_crawler_spark.functions.robots import sitemap_urls
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    h = F.concat(F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".example.com"))
+    cls = F.col("doc_id") % 4
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /p"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("\n"),
+        F.when(cls == 1, F.concat(F.lit("Sitemap: "), h, F.lit("/sitemap.xml\n")))
+        .when(
+            cls == 2,
+            F.concat(
+                F.lit("sitemap:"), h, F.lit("/sm_a.xml\n"),
+                F.lit("SITEMAP: "), h, F.lit("/sm_b.xml\n"),
+            ),
+        )
+        .when(
+            cls == 3,
+            F.concat(F.lit("Sitemap: "), h, F.lit("/s.xml # mirror note\n")),
+        )
+        .otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id", F.posexplode(sitemap_urls(body)).alias("sm_idx", "sitemap_url")
+    ).select("doc_id", F.col("sm_idx").cast("int").alias("sm_idx"), "sitemap_url")
+
+
+def q_frontier_skew_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven skew/salting plan (operators/skew.py): per-host row
+    counts over events with a planted hot host (~30% of all rows) →
+    fanout = clamp(ceil(n/target), 1, max) — the operational form of the
+    engine's hot-host salting. target=500/max=8 make the interior rule,
+    the lower clamp, and the max clamp all bind. Integer arithmetic,
+    hash-exact."""
+    from newsfeeds_crawler_spark.operators.skew import key_counts, salt_plan
+
+    ev = _t(spark, sf_dir, "events")
+    host = F.when(F.col("user_id") % 10 < 3, F.lit("hot.example.com")).otherwise(
+        F.concat(F.lit("h"), (F.col("user_id") % 200).cast("string"))
+    )
+    return salt_plan(
+        key_counts(ev.select(host.alias("host")), "host"),
+        target_rows=500,
+        max_fanout=8,
+    )
+
+
 def q_caption_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caption↔image consistency score (multimodal quality column): each
     document gets a deterministic synthetic phash and a caption carrying
@@ -1861,6 +1918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_roundtrip": q_image_decode_roundtrip,
         "robots_parse": q_robots_parse,
         "sitemap_parse": q_sitemap_parse,
+        "robots_sitemaps": q_robots_sitemaps,
+        "frontier_skew_plan": q_frontier_skew_plan,
         "image_resize_roundtrip": q_image_resize_roundtrip,
         "image_phash_neardup": q_image_phash_neardup,
         "frame_sample": q_frame_sample,
@@ -3065,6 +3124,34 @@ def oracle_sql() -> dict[str, str]:
                                   WHEN band = 'mid' THEN {SAMPLE_RATE_MID}
                                   ELSE {SAMPLE_RATE_LOW} END) AS kept
             FROM b
+        """,
+        "robots_sitemaps": """
+            WITH d AS (SELECT doc_id::BIGINT AS doc_id,
+                              'https://h' || (doc_id % 50)::VARCHAR
+                              || '.example.com' AS h,
+                              doc_id % 4 AS cls
+                       FROM documents)
+            SELECT doc_id, 0::INT AS sm_idx,
+                   CASE WHEN cls = 1 THEN h || '/sitemap.xml'
+                        WHEN cls = 2 THEN h || '/sm_a.xml'
+                        ELSE h || '/s.xml' END AS sitemap_url
+            FROM d WHERE cls IN (1, 2, 3)
+            UNION ALL
+            SELECT doc_id, 1::INT AS sm_idx, h || '/sm_b.xml' AS sitemap_url
+            FROM d WHERE cls = 2
+        """,
+        "frontier_skew_plan": """
+            WITH k AS (
+                SELECT CASE WHEN user_id % 10 < 3 THEN 'hot.example.com'
+                            ELSE 'h' || (user_id % 200)::VARCHAR END AS key,
+                       count(*)::BIGINT AS n_rows
+                FROM events GROUP BY 1)
+            SELECT key, n_rows,
+                   least(greatest((n_rows + 499) // 500, 1), 8)::INT
+                       AS fanout,
+                   (least(greatest((n_rows + 499) // 500, 1), 8) > 1)
+                       AS hot
+            FROM k
         """,
         "corpus_compaction_plan": """
             WITH RECURSIVE m AS (

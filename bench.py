@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "dedup_rate_by_source",
     "robots_parse",
     "sitemap_parse",
+    "robots_sitemaps",
+    "frontier_skew_plan",
     "caption_consistency",
     "caption_consolidation",
     "link_bfs_depth",
