@@ -961,6 +961,67 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_stratified(_t(spark, sf_dir, "documents"))
 
 
+def q_frontier_kmv_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV synopsis + distinct estimate (operators/kmv.py): per-host k=64
+    smallest distinct URL fingerprints over events-derived URLs — two of
+    eight hosts have < k distinct URLs (exact-count regime), the rest
+    estimate via the Beyer (k−1)·M div h_(k) form. Output = synopsis rows
+    joined with the per-host estimate, all integer, hash-exact."""
+    from newsfeeds_crawler_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_synopsis,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    grp = F.concat(F.lit("g"), (F.col("user_id") % 8).cast("string"))
+    val = F.when(
+        F.col("user_id") % 8 < 2,
+        F.concat(F.lit("u"), (F.col("event_id") % 30).cast("string")),
+    ).otherwise(F.concat(F.lit("u"), F.col("event_id").cast("string")))
+    urls = ev.select(grp.alias("grp"), val.alias("url"))
+    syn = kmv_synopsis(urls, "grp", "url", k=64)
+    est = kmv_estimate(syn, "grp", k=64)
+    return syn.join(est, "grp").select(
+        "grp", "value", "h", "rk", "n_kept", "est_distinct"
+    )
+
+
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embeddings table (operators/
+    vecquant.py): per-dimension affine min/max codebook (one explode +
+    64-row stats aggregate, broadcast back), q = round((v−min)·254/span)
+    − 127 — identical double arithmetic + half-up rounding on both
+    engines (values are non-negative pre-round, so DuckDB's
+    half-away-from-zero agrees with Spark's HALF_UP)."""
+    from newsfeeds_crawler_spark.operators.vecquant import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return quantize_int8(emb)
+
+
+def q_corpus_expire_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry planning (operators/retention.py): 20 synthetic
+    snapshot versions (epoch = 13v mod 40) with events-derived
+    many-to-many file references; live = last 3 versions ∪ epoch ≥ 30
+    (both rules bind), deletable = files with ZERO live references —
+    the reference-counted expire_snapshots shape, rank window + one
+    left-anti join, hash-exact."""
+    from newsfeeds_crawler_spark.operators.retention import expire_plan
+
+    ev = _t(spark, sf_dir, "events")
+    snaps = spark.range(1, 21).select(
+        F.col("id").alias("version"), ((F.col("id") * 13) % 40).alias("epoch")
+    )
+    # file f_k is referenced by a 3-version window starting at k%18+1, so
+    # files whose window misses every live version are genuinely dead
+    fk = F.col("event_id") % 347
+    manifests = ev.select(
+        (fk % 18 + 1 + F.col("event_id") % 3).cast("bigint").alias("version"),
+        F.concat(F.lit("f"), fk.cast("string")).alias("file"),
+    )
+    return expire_plan(snaps, manifests, keep_last=3, keep_min_epoch=38)
+
+
 def q_corpus_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning (operators/compaction.py): a
     synthetic file manifest over orders (40 partitions, deterministic
@@ -1904,6 +1965,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": q_text_bigram_lm,
         "corpus_importance_resample": q_corpus_importance_resample,
         "corpus_compaction_plan": q_corpus_compaction_plan,
+        "frontier_kmv_sample": q_frontier_kmv_sample,
+        "embedding_quantize_int8": q_embedding_quantize_int8,
+        "corpus_expire_plan": q_corpus_expire_plan,
         "corpus_mixture_weights": q_corpus_mixture_weights,
         "text_tfidf_topk": q_text_tfidf_topk,
         "text_lang_quality": q_text_lang_quality,
@@ -3124,6 +3188,68 @@ def oracle_sql() -> dict[str, str]:
                                   WHEN band = 'mid' THEN {SAMPLE_RATE_MID}
                                   ELSE {SAMPLE_RATE_LOW} END) AS kept
             FROM b
+        """,
+        "frontier_kmv_sample": f"""
+            WITH v AS (SELECT DISTINCT
+                           'g' || (user_id % 8)::VARCHAR AS grp,
+                           CASE WHEN user_id % 8 < 2
+                                THEN 'u' || (event_id % 30)::VARCHAR
+                                ELSE 'u' || event_id::VARCHAR END AS value
+                       FROM events),
+            h AS (SELECT grp, value, {fingerprint_sql('value')} AS h FROM v),
+            r AS (SELECT grp, value, h,
+                         row_number() OVER (PARTITION BY grp
+                                            ORDER BY h, value)::INT AS rk
+                  FROM h),
+            s AS (SELECT * FROM r WHERE rk <= 64),
+            e AS (SELECT grp, count(*)::BIGINT AS n_kept,
+                         max(h)::BIGINT AS hk
+                  FROM s GROUP BY 1)
+            SELECT s.grp, s.value, s.h, s.rk, e.n_kept,
+                   (CASE WHEN e.n_kept < 64 THEN e.n_kept
+                         ELSE (63::BIGINT * 2147483647)
+                              // greatest(e.hk, 1) END)::BIGINT
+                       AS est_distinct
+            FROM s JOIN e ON s.grp = e.grp
+        """,
+        "embedding_quantize_int8": """
+            WITH x AS (SELECT vec_id,
+                              unnest(list_transform(embedding,
+                                  (__v, __i) -> {'d': __i - 1, 'v': __v}))
+                                  AS s
+                       FROM embeddings),
+            e AS (SELECT vec_id, s.d::INT AS dim, s.v::DOUBLE AS v FROM x),
+            m AS (SELECT dim, min(v) AS dmin, max(v) AS dmax
+                  FROM e GROUP BY 1)
+            SELECT e.vec_id, e.dim,
+                   (CASE WHEN dmax = dmin THEN 0
+                         ELSE least(greatest(
+                             round((v - dmin) * 254 / (dmax - dmin), 0)::INT
+                             - 127, -127), 127) END)::INT AS qv
+            FROM e JOIN m USING (dim)
+        """,
+        "corpus_expire_plan": """
+            WITH s AS (SELECT v::BIGINT AS version,
+                              ((v * 13) % 40)::BIGINT AS epoch
+                       FROM range(1, 21) t(v)),
+            r AS (SELECT version, epoch,
+                         row_number() OVER (ORDER BY version DESC)::BIGINT
+                             AS rk
+                  FROM s),
+            lv AS (SELECT version, (rk <= 3 OR epoch >= 38) AS live FROM r),
+            m AS (SELECT DISTINCT
+                         ((event_id % 347) % 18 + 1
+                          + event_id % 3)::BIGINT AS version,
+                         'f' || (event_id % 347)::VARCHAR AS file
+                  FROM events),
+            refs AS (SELECT m.version, m.file, lv.live
+                     FROM m JOIN lv USING (version)),
+            livef AS (SELECT DISTINCT file FROM refs WHERE live),
+            dead AS (SELECT file, version FROM refs
+                     WHERE file NOT IN (SELECT file FROM livef))
+            SELECT file, count(*)::BIGINT AS n_refs,
+                   max(version)::BIGINT AS last_ref_version
+            FROM dead GROUP BY 1
         """,
         "robots_sitemaps": """
             WITH d AS (SELECT doc_id::BIGINT AS doc_id,

@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "text_bigram_lm",
     "corpus_importance_resample",
     "corpus_compaction_plan",
+    "frontier_kmv_sample",
+    "embedding_quantize_int8",
+    "corpus_expire_plan",
     "corpus_mixture_weights",
     "text_lang_quality",
     "text_bpe_tokens",
