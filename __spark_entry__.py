@@ -961,6 +961,21 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_stratified(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_zigzag_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zig-zag balanced sharding (operators/balance.py): per-source
+    serpentine assignment of documents (deterministic weights from
+    doc_id arithmetic) over 8 shards — rank by (weight desc, id), shard
+    = boustrophedon(rank). Pure int64 window arithmetic, hash-exact."""
+    from newsfeeds_crawler_spark.operators.balance import zigzag_shards
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        ((F.col("doc_id") * 37) % 1000 + 1).cast("bigint").alias("n_tokens"),
+    )
+    return zigzag_shards(d, 8, group_col="source")
+
+
 def q_frontier_kmv_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV synopsis + distinct estimate (operators/kmv.py): per-host k=64
     smallest distinct URL fingerprints over events-derived URLs — two of
@@ -1966,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_importance_resample": q_corpus_importance_resample,
         "corpus_compaction_plan": q_corpus_compaction_plan,
         "frontier_kmv_sample": q_frontier_kmv_sample,
+        "corpus_zigzag_shards": q_corpus_zigzag_shards,
         "embedding_quantize_int8": q_embedding_quantize_int8,
         "corpus_expire_plan": q_corpus_expire_plan,
         "corpus_mixture_weights": q_corpus_mixture_weights,
@@ -3188,6 +3204,22 @@ def oracle_sql() -> dict[str, str]:
                                   WHEN band = 'mid' THEN {SAMPLE_RATE_MID}
                                   ELSE {SAMPLE_RATE_LOW} END) AS kept
             FROM b
+        """,
+        "corpus_zigzag_shards": """
+            WITH b AS (SELECT source, doc_id::BIGINT AS doc_id,
+                              ((doc_id * 37) % 1000 + 1)::BIGINT
+                                  AS n_tokens
+                       FROM documents),
+            r AS (SELECT source, doc_id, n_tokens,
+                         (row_number() OVER (
+                              PARTITION BY source
+                              ORDER BY n_tokens DESC, doc_id) - 1)::BIGINT
+                             AS rank
+                  FROM b)
+            SELECT source, doc_id, n_tokens, rank,
+                   (CASE WHEN (rank // 8) % 2 = 0 THEN rank % 8
+                         ELSE 7 - rank % 8 END)::INT AS shard
+            FROM r
         """,
         "frontier_kmv_sample": f"""
             WITH v AS (SELECT DISTINCT

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "corpus_importance_resample",
     "corpus_compaction_plan",
     "frontier_kmv_sample",
+    "corpus_zigzag_shards",
     "embedding_quantize_int8",
     "corpus_expire_plan",
     "corpus_mixture_weights",
