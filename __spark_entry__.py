@@ -92,21 +92,36 @@ from newsfeeds_crawler_spark.operators.textquality import (
 )
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one test table, rebalancing when the scan yields fewer splits
-    than cores. The sf0.1 files are single-row-group parquet, so every
-    CPU-heavy derivation downstream (shingling, signatures, phash) would
-    otherwise run as ONE task on a 32-core session — a small-file
-    artifact, not a plan property. At real scale the scan produces
-    >= cores splits and this is a no-op (no shuffle added); the condition
-    is the same "source splits < slots" rebalance a production ingest
-    applies to small dimension feeds. Round-robin repartition is
-    value-neutral: every gate aggregates order-independently (int sums /
-    min / max / per-pair folds), which check_entry re-verifies."""
+#: tables whose consumers do CPU-heavy per-row derivation (shingling,
+#: signatures, codecs, vector folds) — the only ones worth a rebalance
+#: shuffle when the scan yields fewer splits than cores
+_REBALANCE_TABLES = frozenset({"documents", "embeddings"})
+
+
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool | None = None
+) -> DataFrame:
+    """Read one test table, rebalancing the PAYLOAD tables when the scan
+    yields fewer splits than cores. The sf0.1 files are single-row-group
+    parquet, so a CPU-heavy derivation downstream (shingling, signatures,
+    phash, vector folds) would otherwise run as ONE task on a 32-core
+    session — a small-file artifact, not a plan property; measured at
+    sf0.1 the rebalance cuts dedup_token_jaccard 6.0→0.95 s and
+    similarity_pq_topk 11.1→1.9 s. The relational tables (orders,
+    lineitem, events, ...) feed arithmetic projections where the shuffle
+    COSTS more than it buys (~0.3–1.3 s per scan-bound gate, measured
+    bench-over-bench), so they read as-is — at real scale every scan
+    produces >= cores splits and both branches are no-ops. Round-robin
+    repartition is value-neutral: every gate aggregates
+    order-independently (int sums / min / max / per-pair folds), which
+    check_entry re-verifies."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    if rebalance is None:
+        rebalance = name in _REBALANCE_TABLES
+    if rebalance:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
     return df
 
 
@@ -597,8 +612,10 @@ def q_status_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup — hash-groupBy survivorship table (all groups)."""
-    d = _t(spark, sf_dir, "documents")
+    """Exact dedup — hash-groupBy survivorship table (all groups). A
+    plain hash aggregate needs no input rebalance (map-side combine
+    already parallelizes the reduce; the shuffle would only tax it)."""
+    d = _t(spark, sf_dir, "documents", rebalance=False)
     return d.groupBy(F.md5(F.col("text")).alias("text_md5")).agg(
         F.min("doc_id").cast("bigint").alias("rep_id"),
         F.count(F.lit(1)).cast("bigint").alias("dup_count"),
@@ -607,7 +624,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup — only duplicated groups (dup_count > 1)."""
-    return exact_dups(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return exact_dups(
+        _t(spark, sf_dir, "documents", rebalance=False), "doc_id", "text"
+    )
 
 
 def q_dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1194,7 +1213,7 @@ def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-rate dashboard: per-source doc counts, distinct texts, and the
     duplicate fraction a curation pipeline tracks."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", rebalance=False)
     return d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.count_distinct(F.col("text")).cast("bigint").alias("n_distinct"),
@@ -1232,7 +1251,7 @@ def q_image_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from newsfeeds_crawler_spark.functions import codecs
     from newsfeeds_crawler_spark.operators.multimodal import decode_images
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 128).select("doc_id")
+    d = _t(spark, sf_dir, "documents", rebalance=False).filter(F.col("doc_id") < 128).select("doc_id")
     fmts = ["ppm", "bmp", "png", "dct"]
 
     def _src(did: int) -> np.ndarray:
@@ -1326,7 +1345,7 @@ def q_image_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_images, resize_images,
     )
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 96).select("doc_id")
+    d = _t(spark, sf_dir, "documents", rebalance=False).filter(F.col("doc_id") < 96).select("doc_id")
     enc_schema = StructType([
         StructField("doc_id", LongType()),
         StructField("bytes", BinaryType()),
@@ -1400,7 +1419,7 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         phash_hamming_pairs,
     )
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 128).select("doc_id")
+    d = _t(spark, sf_dir, "documents", rebalance=False).filter(F.col("doc_id") < 128).select("doc_id")
     fmts = ["ppm", "bmp", "png", "dct"]
 
     enc_schema = StructType(
@@ -1476,7 +1495,7 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from newsfeeds_crawler_spark.operators.multimodal import sample_frames
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select("doc_id")
+    d = _t(spark, sf_dir, "documents", rebalance=False).filter(F.col("doc_id") < 64).select("doc_id")
     FRAME, EVERY, NFRAMES = 16, 3, 12
     enc_schema = StructType([
         StructField("doc_id", LongType()),
@@ -1528,7 +1547,7 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         disallow_prefixes,
     )
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    d = _t(spark, sf_dir, "documents", rebalance=False).filter(F.col("doc_id") < 512)
     body = F.concat(
         F.lit("# synthetic robots\n"),
         F.lit("User-agent: googlebot\nCrawl-delay: 9\nDisallow: /g"),
