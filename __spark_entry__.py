@@ -980,6 +980,36 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_stratified(_t(spark, sf_dir, "documents"))
 
 
+def q_text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (operators/textclean.py): synthetic
+    multi-line documents over doc_id with four planted line classes —
+    valid sentence, too-short, no terminal punctuation, valid — cleaned
+    with the real array-expression filter; the oracle mirrors the same
+    list pipeline in DuckDB, hash-checking the CLEANED TEXT itself.
+    Line counts vary per doc (3..7) so the document-level min-lines
+    verdict fires both ways."""
+    from newsfeeds_crawler_spark.operators.textclean import c4_clean
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    line = (
+        "case (doc_id + j) % 4 "
+        "when 1 then concat('Short no. ', cast(j as string)) "
+        "when 2 then concat('No terminal punctuation on line ', "
+        "cast(j as string), ' of this doc') "
+        "else concat('  A valid retained sentence number ', "
+        "cast(j as string), ' for document ', cast(doc_id as string), "
+        "'.  ') end"
+    )
+    body = (
+        "array_join(transform(sequence(0, cast(doc_id % 5 as int) + 2), "
+        f"j -> {line}), '\\n')"
+    )
+    docs = d.selectExpr("doc_id", f"({body}) as text")
+    return c4_clean(docs)
+
+
 def q_corpus_zigzag_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zig-zag balanced sharding (operators/balance.py): per-source
     serpentine assignment of documents (deterministic weights from
@@ -2001,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_compaction_plan": q_corpus_compaction_plan,
         "frontier_kmv_sample": q_frontier_kmv_sample,
         "corpus_zigzag_shards": q_corpus_zigzag_shards,
+        "text_c4_clean": q_text_c4_clean,
         "embedding_quantize_int8": q_embedding_quantize_int8,
         "corpus_expire_plan": q_corpus_expire_plan,
         "corpus_mixture_weights": q_corpus_mixture_weights,
@@ -3223,6 +3254,33 @@ def oracle_sql() -> dict[str, str]:
                                   WHEN band = 'mid' THEN {SAMPLE_RATE_MID}
                                   ELSE {SAMPLE_RATE_LOW} END) AS kept
             FROM b
+        """,
+        "text_c4_clean": r"""
+            WITH d AS (SELECT doc_id::BIGINT AS doc_id FROM documents),
+            t AS (SELECT doc_id,
+                         list_transform(
+                             generate_series(0, doc_id % 5 + 2),
+                             j -> CASE (doc_id + j) % 4
+                                  WHEN 1 THEN 'Short no. ' || j::VARCHAR
+                                  WHEN 2 THEN
+                                      'No terminal punctuation on line '
+                                      || j::VARCHAR || ' of this doc'
+                                  ELSE '  A valid retained sentence number '
+                                       || j::VARCHAR || ' for document '
+                                       || doc_id::VARCHAR || '.  ' END)
+                             AS lines
+                  FROM d),
+            k AS (SELECT doc_id, len(lines)::BIGINT AS n_lines,
+                         list_transform(list_filter(lines,
+                             l -> regexp_matches(trim(l), '[.!?"]$')
+                                  AND len(string_split_regex(trim(l),
+                                          '\s+')) >= 5),
+                             l -> trim(l)) AS kept
+                  FROM t)
+            SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept_lines,
+                   (len(kept) >= 3) AS keep,
+                   array_to_string(kept, chr(10)) AS cleaned_text
+            FROM k
         """,
         "corpus_zigzag_shards": """
             WITH b AS (SELECT source, doc_id::BIGINT AS doc_id,

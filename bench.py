@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "corpus_compaction_plan",
     "frontier_kmv_sample",
     "corpus_zigzag_shards",
+    "text_c4_clean",
     "embedding_quantize_int8",
     "corpus_expire_plan",
     "corpus_mixture_weights",
