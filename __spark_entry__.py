@@ -980,6 +980,42 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_stratified(_t(spark, sf_dir, "documents"))
 
 
+def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist URL filtering (operators/blocklist.py): events-
+    derived URLs across three host classes — bare, sub.-prefixed (the
+    suffix rule must fire), and an xh-prefixed decoy (dot-bounded
+    matching must NOT fire on 'xh5…' for rule 'h5…') — against a 5-rule
+    list including an overlapping pair (h9 + sub.h9) where the
+    most-specific rule must win. Suffix explode + broadcast join + one
+    longest-match aggregate; hash-exact."""
+    from newsfeeds_crawler_spark.operators.blocklist import blocklist_filter
+
+    ev = _t(spark, sf_dir, "events")
+    k = (F.col("user_id") % 40).cast("string")
+    cls = F.col("user_id") % 3
+    host = (
+        F.when(cls == 1, F.concat(F.lit("sub.h"), k, F.lit(".example.com")))
+        .when(cls == 2, F.concat(F.lit("xh"), k, F.lit(".example.com")))
+        .otherwise(F.concat(F.lit("h"), k, F.lit(".example.com")))
+    )
+    urls = ev.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p"), F.col("event_id").cast("string")
+        ).alias("url")
+    )
+    rules = spark.createDataFrame(
+        [
+            ("h5.example.com",),
+            ("h17.example.com",),
+            ("h9.example.com",),
+            ("sub.h9.example.com",),
+            ("example.net",),
+        ],
+        "domain string",
+    )
+    return blocklist_filter(urls, rules)
+
+
 def q_text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-level cleaning (operators/textclean.py): synthetic
     multi-line documents over doc_id with four planted line classes —
@@ -2032,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_kmv_sample": q_frontier_kmv_sample,
         "corpus_zigzag_shards": q_corpus_zigzag_shards,
         "text_c4_clean": q_text_c4_clean,
+        "url_blocklist_filter": q_url_blocklist_filter,
         "embedding_quantize_int8": q_embedding_quantize_int8,
         "corpus_expire_plan": q_corpus_expire_plan,
         "corpus_mixture_weights": q_corpus_mixture_weights,
@@ -3254,6 +3291,43 @@ def oracle_sql() -> dict[str, str]:
                                   WHEN band = 'mid' THEN {SAMPLE_RATE_MID}
                                   ELSE {SAMPLE_RATE_LOW} END) AS kept
             FROM b
+        """,
+        "url_blocklist_filter": r"""
+            WITH u AS (
+                SELECT 'https://'
+                       || CASE WHEN user_id % 3 = 1
+                               THEN 'sub.h' || (user_id % 40)::VARCHAR
+                                    || '.example.com'
+                               WHEN user_id % 3 = 2
+                               THEN 'xh' || (user_id % 40)::VARCHAR
+                                    || '.example.com'
+                               ELSE 'h' || (user_id % 40)::VARCHAR
+                                    || '.example.com' END
+                       || '/p' || event_id::VARCHAR AS url
+                FROM events),
+            b AS (SELECT url,
+                         regexp_extract(url,
+                             '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host
+                  FROM u),
+            rules AS (SELECT * FROM (VALUES ('h5.example.com'),
+                          ('h17.example.com'), ('h9.example.com'),
+                          ('sub.h9.example.com'), ('example.net')) r(d)),
+            ex AS (SELECT url, host,
+                          unnest(list_transform(
+                              generate_series(1,
+                                  len(string_split(host, '.'))),
+                              i -> array_to_string(
+                                  string_split(host, '.')[i:
+                                      len(string_split(host, '.'))],
+                                  '.'))) AS sfx
+                   FROM b),
+            hits AS (SELECT url, max_by(d, length(d)) AS matched_rule
+                     FROM ex JOIN rules ON ex.sfx = rules.d
+                     GROUP BY url)
+            SELECT b.url, b.host,
+                   (hits.matched_rule IS NOT NULL) AS blocked,
+                   hits.matched_rule
+            FROM b LEFT JOIN hits ON b.url = hits.url
         """,
         "text_c4_clean": r"""
             WITH d AS (SELECT doc_id::BIGINT AS doc_id FROM documents),

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "frontier_kmv_sample",
     "corpus_zigzag_shards",
     "text_c4_clean",
+    "url_blocklist_filter",
     "embedding_quantize_int8",
     "corpus_expire_plan",
     "corpus_mixture_weights",
